@@ -1,0 +1,49 @@
+"""htool_tpu — a TPU-native hierarchical-matrix + DDM-solver framework.
+
+Brand-new JAX/XLA/Pallas framework with the capabilities of Htool-DDM
+(https://github.com/htool-ddm/htool): geometric cluster trees, H-matrix
+compression (batched partial ACA / SVD), H-arithmetic, a row-partitioned
+distributed operator over a ``jax.sharding.Mesh``, and CG/GMRES Krylov
+solvers with one- and two-level (GenEO) domain-decomposition
+preconditioners.
+
+Design: trees and block plans are built on host in NumPy; the device sees
+only flat, static, padded bucket arrays driven by batched einsum/Pallas
+kernels.  See SURVEY.md §7 for the blueprint.
+"""
+
+from .clustering.cluster_tree import ClusterTree, ClusterTreeBuilder, build_cluster_tree
+from .generator import Generator, KernelGenerator, MatrixGenerator
+from .hmatrix.aca import batched_partial_aca
+from .hmatrix.assembly import HMatrixBuilder, assemble_from_plan, build_hmatrix
+from .hmatrix.block_tree import BlockTreePlan, plan_block_tree
+from .hmatrix.hmatrix import DenseBucket, HMatrix, LowRankBucket
+from .hmatrix.info import hmatrix_info, print_hmatrix_information
+from .hmatrix.linalg import matmat, matmat_user, matvec, matvec_user, to_dense
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ClusterTree",
+    "ClusterTreeBuilder",
+    "build_cluster_tree",
+    "Generator",
+    "KernelGenerator",
+    "MatrixGenerator",
+    "BlockTreePlan",
+    "plan_block_tree",
+    "HMatrix",
+    "DenseBucket",
+    "LowRankBucket",
+    "HMatrixBuilder",
+    "build_hmatrix",
+    "assemble_from_plan",
+    "batched_partial_aca",
+    "matvec",
+    "matvec_user",
+    "matmat",
+    "matmat_user",
+    "to_dense",
+    "hmatrix_info",
+    "print_hmatrix_information",
+]

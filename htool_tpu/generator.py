@@ -1,0 +1,83 @@
+"""Matrix generators — the user-supplied entry oracle.
+
+Equivalent of the reference's ``VirtualGenerator`` /
+``VirtualInternalGenerator`` (``hmatrix/interfaces/virtual_generator.hpp``):
+the user supplies a rule for arbitrary sub-blocks of the (never materialized)
+dense matrix.  TPU-native difference: instead of a ``copy_submatrix`` filling
+a host pointer, a generator exposes a **jittable, batched gather**:
+``block(rows, cols) -> entries`` where ``rows``/``cols`` are integer index
+arrays in *user numbering* with arbitrary leading batch dimensions.  This is
+what lets assembly and ACA run as single fused device kernels over whole
+buckets of blocks at once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Generator", "KernelGenerator", "MatrixGenerator"]
+
+
+class Generator:
+    """Entry oracle in user numbering.
+
+    Subclasses implement :meth:`block`.  ``rows``: int array ``[..., m]``;
+    ``cols``: int array ``[..., n]`` -> entries ``[..., m, n]``.  Must be
+    jittable (traced inside assembly/compression kernels).
+    """
+
+    shape: tuple[int, int]
+    dtype: jnp.dtype
+
+    def block(self, rows, cols):
+        raise NotImplementedError
+
+    # convenience: full dense materialization (oracle for tests)
+    def to_dense(self):
+        M, N = self.shape
+        return self.block(jnp.arange(M), jnp.arange(N))
+
+
+class KernelGenerator(Generator):
+    """Generator defined by a coordinate kernel ``k(x, y)``.
+
+    ``kernel`` maps broadcastable coordinate arrays ``[..., d]`` to scalars
+    ``[...]`` using jnp ops.  Equivalent to the reference's BEM-style test
+    generators (``testing/generator_test.hpp:155-205``) but evaluated batched
+    on device.
+    """
+
+    def __init__(self, kernel: Callable, target_points, source_points, dtype=None):
+        self.kernel = kernel
+        self.target_points = jnp.asarray(target_points)
+        self.source_points = jnp.asarray(source_points)
+        self.shape = (self.target_points.shape[0], self.source_points.shape[0])
+        if dtype is None:
+            probe = kernel(self.target_points[0], self.source_points[-1])
+            dtype = jnp.asarray(probe).dtype
+        self.dtype = dtype
+
+    def block(self, rows, cols):
+        tx = self.target_points[rows]  # [..., m, d]
+        sy = self.source_points[cols]  # [..., n, d]
+        out = self.kernel(tx[..., :, None, :], sy[..., None, :, :])
+        return out.astype(self.dtype)
+
+
+class MatrixGenerator(Generator):
+    """Generator backed by a stored dense matrix (user numbering) —
+    equivalent of ``GeneratorInUserNumberingFromMatrix``
+    (``testing/generator_test.hpp:207-221``)."""
+
+    def __init__(self, matrix):
+        self.matrix = jnp.asarray(matrix)
+        self.shape = tuple(self.matrix.shape)
+        self.dtype = self.matrix.dtype
+
+    def block(self, rows, cols):
+        rows = jnp.asarray(rows)
+        cols = jnp.asarray(cols)
+        return self.matrix[rows[..., :, None], cols[..., None, :]]

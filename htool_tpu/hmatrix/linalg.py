@@ -1,0 +1,241 @@
+"""H-matrix products (matvec / multi-RHS matmat) and dense export.
+
+TPU-native re-design of the reference leaf-loop products
+(``hmatrix/linalg/add_hmatrix_vector_product.hpp:17-206`` and the row-major
+multi-RHS variants): the per-leaf gemv loop becomes, per bucket, ONE batched
+einsum (MXU) between stacked blocks and gathered input slices, followed by a
+scatter-add into the output.  Padded rows/cols are exact zeros so no masking
+is needed.  Symmetric/hermitian mirrored contributions
+(``add_hmatrix_vector_product.hpp:56-104``) are separate bucket terms with
+the transposed/conjugated operand.
+
+All core routines work in **cluster numbering** on 2-D ``[n, nrhs]`` arrays;
+user-numbering wrappers apply the permutations as gathers
+(``add_hmatrix_vector_product.hpp:172-206``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hmatrix import DenseBucket, HMatrix, LowRankBucket
+
+__all__ = [
+    "matvec",
+    "matvec_user",
+    "matmat",
+    "matmat_user",
+    "to_dense",
+]
+
+
+def _gather(x_pad, off, width):
+    """x_pad [L, k], off [nb] -> [nb, width, k]."""
+    idx = off[:, None] + jnp.arange(width)[None, :]
+    return x_pad[idx]
+
+
+def _scatter_add(y_pad, off, width, contrib):
+    idx = off[:, None] + jnp.arange(width)[None, :]
+    return y_pad.at[idx].add(contrib)
+
+
+def _apply_dense(data, xg, mode):
+    """data [nb, m, n] applied to xg [nb, ·, k] under mode."""
+    if mode == "N":
+        return jnp.einsum("bmn,bnk->bmk", data, xg)
+    if mode == "T":
+        return jnp.einsum("bmn,bmk->bnk", data, xg)
+    if mode == "C":
+        return jnp.einsum("bmn,bmk->bnk", jnp.conj(data), xg)
+    if mode == "conj":  # conj(A) · x
+        return jnp.einsum("bmn,bnk->bmk", jnp.conj(data), xg)
+    raise ValueError(mode)
+
+
+def _apply_lr(U, V, xg, mode):
+    """U [nb, m, r], V [nb, r, n] applied to xg under mode."""
+    if mode == "N":
+        t = jnp.einsum("brn,bnk->brk", V, xg)
+        return jnp.einsum("bmr,brk->bmk", U, t)
+    if mode == "T":
+        t = jnp.einsum("bmr,bmk->brk", U, xg)
+        return jnp.einsum("brn,brk->bnk", V, t)
+    if mode == "C":
+        t = jnp.einsum("bmr,bmk->brk", jnp.conj(U), xg)
+        return jnp.einsum("brn,brk->bnk", jnp.conj(V), t)
+    if mode == "conj":
+        t = jnp.einsum("brn,bnk->brk", jnp.conj(V), xg)
+        return jnp.einsum("bmr,brk->bmk", jnp.conj(U), t)
+    raise ValueError(mode)
+
+
+def _bucket_terms(bucket, op: str, symmetry: str):
+    """Yield (in_side, out_side, mode) contribution terms for a bucket under
+    product op in {'N','T','C'}.
+
+    The stored block A sits at (t, s).  A symmetric matrix additionally has
+    g(A) at (s, t) with g = transpose ('S') or conj-transpose ('H') for
+    mirror buckets.  Sides are 't' or 's'.
+    """
+    terms = []
+    if op == "N":
+        terms.append(("s", "t", "N"))
+    elif op == "T":
+        terms.append(("t", "s", "T"))
+    elif op == "C":
+        terms.append(("t", "s", "C"))
+    else:
+        raise ValueError(op)
+
+    if bucket.mirror:
+        if symmetry == "S":
+            # g(A) = A^T at (s, t)
+            mirror_modes = {"N": "T", "T": "N", "C": "conj"}
+        elif symmetry == "H":
+            # g(A) = A^H at (s, t)
+            mirror_modes = {"N": "C", "T": "conj", "C": "N"}
+        else:
+            raise ValueError("mirror bucket in non-symmetric matrix")
+        mode = mirror_modes[op]
+        if op == "N":
+            terms.append(("t", "s", mode))
+        else:
+            terms.append(("s", "t", mode))
+    return terms
+
+
+@partial(jax.jit, static_argnames=("op",))
+def matvec(h: HMatrix, x, op: str = "N"):
+    """Product in cluster numbering: ``op(H) @ x``.
+
+    ``x``: [N] or [N, k] (cluster numbering of the source tree for 'N',
+    target for 'T'/'C').  For a partition-restricted block-row, 'N' returns
+    the local rows; 'T'/'C' takes the local rows slice as input and returns a
+    GLOBAL-size output (the caller reduces across partitions).
+    """
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+
+    m_loc, n_glob = h.shape
+    out_is_t = op == "N"
+    out_len = m_loc if out_is_t else n_glob
+    dtype = jnp.result_type(h.dtype, x.dtype)
+
+    # pad widths: max block extent so gathers/scatters stay in range
+    widths = [b.block_shape for b in h.dense_buckets] + [
+        b.block_shape for b in h.lr_buckets
+    ]
+    max_bm = max([w[0] for w in widths], default=1)
+    max_bn = max([w[1] for w in widths], default=1)
+    pad_in = max(max_bm, max_bn)
+
+    x_pad = jnp.concatenate(
+        [x.astype(dtype), jnp.zeros((pad_in, x.shape[1]), dtype)], axis=0
+    )
+    y_pad = jnp.zeros((out_len + pad_in, x.shape[1]), dtype)
+
+    # input offset base: x is indexed in the numbering of its own root
+    # (local t-offsets are shifted by t_root_off)
+    for bucket in h.dense_buckets + h.lr_buckets:
+        is_dense = isinstance(bucket, DenseBucket)
+        bm, bn = bucket.block_shape
+        for in_side, out_side, mode in _bucket_terms(bucket, op, h.symmetry):
+            # target offsets are local to the (possibly partition-restricted)
+            # target root; source offsets are global
+            in_off = bucket.t_off - h.t_root_off if in_side == "t" else bucket.s_off
+            out_off = bucket.t_off - h.t_root_off if out_side == "t" else bucket.s_off
+            in_w = bm if in_side == "t" else bn
+            out_w = bm if out_side == "t" else bn
+            xg = _gather(x_pad, in_off, in_w)
+            if is_dense:
+                yb = _apply_dense(bucket.data.astype(dtype), xg, mode)
+            else:
+                yb = _apply_lr(
+                    bucket.U.astype(dtype), bucket.V.astype(dtype), xg, mode
+                )
+            y_pad = _scatter_add(y_pad, out_off, out_w, yb)
+
+    y = y_pad[:out_len]
+    return y[:, 0] if squeeze else y
+
+
+def matmat(h: HMatrix, X, op: str = "N"):
+    """Multi-RHS product in cluster numbering (row-major multi-RHS analog,
+    ``add_hmatrix_matrix_product_row_major.hpp``)."""
+    return matvec(h, X, op=op)
+
+
+def matvec_user(h: HMatrix, x, op: str = "N"):
+    """Product in USER numbering (global): permute in, product, permute out
+    (``add_hmatrix_vector_product.hpp:172-206``).  Only valid for global
+    (non-partition-restricted) H-matrices."""
+    x = jnp.asarray(x)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    n_in = h.shape[1] if op == "N" else h.shape[0]
+    if x.shape[0] != n_in:
+        raise ValueError(
+            f"input has {x.shape[0]} rows, operator expects {n_in} (op={op!r})"
+        )
+    in_perm = h.perm_s if op == "N" else h.perm_t
+    out_perm = h.perm_t if op == "N" else h.perm_s
+    xc = x[in_perm]
+    yc = matvec(h, xc, op=op)
+    y = jnp.zeros_like(yc).at[out_perm].set(yc)
+    return y[:, 0] if squeeze else y
+
+
+def matmat_user(h: HMatrix, X, op: str = "N"):
+    return matvec_user(h, X, op=op)
+
+
+def to_dense(h: HMatrix, user_numbering: bool = True) -> np.ndarray:
+    """Materialize the dense matrix (``copy_to_dense``, hmatrix.hpp:298 and
+    ``copy_to_dense_in_user_numbering:333``).  Host-side; for tests/oracles."""
+    m_loc, n_glob = h.shape
+    dtype = np.asarray(jnp.zeros((), h.dtype)).dtype
+    A = np.zeros((m_loc, n_glob), dtype)
+
+    def blocks(bucket):
+        t_off = np.asarray(bucket.t_off)
+        s_off = np.asarray(bucket.s_off)
+        t_sz = np.asarray(bucket.t_sizes)
+        s_sz = np.asarray(bucket.s_sizes)
+        if isinstance(bucket, DenseBucket):
+            data = np.asarray(bucket.data)
+            for i in range(t_off.shape[0]):
+                yield t_off[i], s_off[i], data[i, : t_sz[i], : s_sz[i]]
+        else:
+            U = np.asarray(bucket.U)
+            V = np.asarray(bucket.V)
+            for i in range(t_off.shape[0]):
+                yield t_off[i], s_off[i], U[i, : t_sz[i]] @ V[i, :, : s_sz[i]]
+
+    for bucket in h.dense_buckets + h.lr_buckets:
+        for toff, soff, blk in blocks(bucket):
+            A[toff - h.t_root_off : toff - h.t_root_off + blk.shape[0], soff : soff + blk.shape[1]] = blk
+            if bucket.mirror:
+                g = blk.T if h.symmetry == "S" else np.conj(blk.T)
+                # mirrored block lives at (s, t) — only valid for global
+                # square symmetric matrices
+                A[soff - h.t_root_off : soff - h.t_root_off + blk.shape[1], toff : toff + blk.shape[0]] = g
+
+    if user_numbering:
+        perm_t = np.asarray(h.perm_t)
+        perm_s = np.asarray(h.perm_s)
+        if h.t_root_off != 0 or m_loc != perm_t.shape[0]:
+            raise ValueError(
+                "user-numbering dense export requires a global (non-partition-"
+                "restricted) H-matrix; use user_numbering=False"
+            )
+        out = np.zeros_like(A)
+        out[np.ix_(perm_t, perm_s)] = A
+        return out
+    return A
