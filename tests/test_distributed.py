@@ -1,0 +1,88 @@
+"""Distributed-operator tests on an emulated multi-device CPU mesh — the
+analog of the reference's mpiexec-np-{1..4} distributed_operator tests
+(tests/functional_tests/distributed_operator/test_distributed_operator.hpp:
+71-110): random RHS, dense gemm oracle, g2g and l2l flavors, op in {N,T,C}."""
+
+import numpy as np
+import pytest
+
+import htool_tpu as ht
+from htool_tpu.parallel import build_distributed_hmatrix, default_mesh
+from htool_tpu.testing import (
+    create_sphere,
+    laplace_kernel_complex_symmetric,
+    laplace_kernel_symmetric,
+)
+
+EPS = 1e-5
+
+
+def build_dist(P, kern=laplace_kernel_symmetric, n=500, partition=None):
+    pts = create_sphere(n)
+    tree = ht.build_cluster_tree(
+        pts, max_leaf_size=40, n_partitions=P, partition=partition
+    )
+    gen = ht.KernelGenerator(kern, pts, pts)
+    mesh = default_mesh(P)
+    D = build_distributed_hmatrix(gen, tree, mesh, epsilon=EPS, eta=10.0)
+    A = np.asarray(gen.to_dense())
+    return D, A, tree
+
+
+@pytest.mark.parametrize("P", [1, 2, 3, 4, 8])
+def test_distributed_build_vs_dense(P):
+    D, A, _ = build_dist(P)
+    err = np.linalg.norm(D.to_dense() - A) / np.linalg.norm(A)
+    assert err < EPS
+
+
+@pytest.mark.parametrize("P", [2, 4])
+@pytest.mark.parametrize("op", ["N", "T", "C"])
+@pytest.mark.parametrize("nrhs", [1, 5])
+@pytest.mark.parametrize("kern", [laplace_kernel_symmetric, laplace_kernel_complex_symmetric])
+def test_distributed_matvec_g2g(P, op, nrhs, kern):
+    D, A, _ = build_dist(P, kern=kern)
+    rng = np.random.RandomState(1)
+    x = rng.randn(A.shape[0], nrhs)
+    if np.iscomplexobj(A):
+        x = x + 1j * rng.randn(*x.shape)
+    if nrhs == 1:
+        x = x[:, 0]
+    y = np.asarray(D.matvec(x, op=op))
+    Aop = A if op == "N" else (A.T if op == "T" else np.conj(A.T))
+    ref = Aop @ x
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 10 * EPS
+
+
+@pytest.mark.parametrize("P", [2, 4])
+@pytest.mark.parametrize("op", ["N", "T"])
+def test_distributed_matvec_l2l(P, op):
+    D, A, tree = build_dist(P)
+    rng = np.random.RandomState(2)
+    xc = rng.randn(A.shape[0], 2)  # cluster numbering
+    x_loc = D.to_local_layout(xc)
+    y_loc = np.asarray(D.matvec_local(x_loc, op=op))
+    yc = np.asarray(D.to_global_layout(y_loc))
+    # oracle in cluster numbering
+    Pm = np.asarray(tree.permutation)
+    Ac = A[np.ix_(Pm, Pm)]
+    ref = (Ac if op == "N" else Ac.T) @ xc
+    assert np.linalg.norm(yc - ref) / np.linalg.norm(ref) < 10 * EPS
+
+
+def test_distributed_given_partition():
+    P = 4
+    n = 400
+    part = np.repeat(np.arange(P), n // P)
+    D, A, _ = build_dist(P, n=n, partition=part)
+    x = np.random.RandomState(3).randn(n)
+    y = np.asarray(D.matvec(x))
+    assert np.linalg.norm(y - A @ x) / np.linalg.norm(A @ x) < 10 * EPS
+
+
+def test_mesh_partition_mismatch():
+    pts = create_sphere(200)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=30, n_partitions=2)
+    gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
+    with pytest.raises(ValueError):
+        build_distributed_hmatrix(gen, tree, default_mesh(4), epsilon=EPS)
