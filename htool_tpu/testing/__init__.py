@@ -1,4 +1,4 @@
-from . import geometry, kernels
+from . import geometry, kernels, problems
 from .geometry import create_disk, create_random_points, create_rotated_ellipse, create_sphere
 from .kernels import (
     helmholtz_kernel,
@@ -8,3 +8,4 @@ from .kernels import (
     laplace_kernel_hermitian,
     laplace_kernel_symmetric,
 )
+from .problems import grid_laplacian
