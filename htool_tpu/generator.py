@@ -67,6 +67,24 @@ class KernelGenerator(Generator):
         return out.astype(self.dtype)
 
 
+class SubsetGenerator(Generator):
+    """Restriction of a generator to index subsets — the analog of
+    ``LocalGeneratorInUserNumberingFromMatrix`` (testing/generator_test.hpp:
+    263-277): local index i maps to global user index ``row_index[i]``."""
+
+    def __init__(self, base: "Generator", row_index, col_index=None):
+        self.base = base
+        self.row_index = jnp.asarray(row_index, jnp.int32)
+        self.col_index = (
+            self.row_index if col_index is None else jnp.asarray(col_index, jnp.int32)
+        )
+        self.shape = (int(self.row_index.shape[0]), int(self.col_index.shape[0]))
+        self.dtype = base.dtype
+
+    def block(self, rows, cols):
+        return self.base.block(self.row_index[rows], self.col_index[cols])
+
+
 class MatrixGenerator(Generator):
     """Generator backed by a stored dense matrix (user numbering) —
     equivalent of ``GeneratorInUserNumberingFromMatrix``

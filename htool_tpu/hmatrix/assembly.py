@@ -59,13 +59,38 @@ def _block_indices(perm: np.ndarray, offs: np.ndarray, sizes: np.ndarray, pad: i
     return perm[offs[:, None] + rel]
 
 
+_COMPRESSORS = {}
+
+
+def _get_compressor(name: str):
+    if not _COMPRESSORS:
+        from .compressors import batched_full_aca, batched_svd_compress
+
+        _COMPRESSORS.update(
+            partial_aca=batched_partial_aca,
+            full_aca=batched_full_aca,
+            svd=batched_svd_compress,
+        )
+    try:
+        return _COMPRESSORS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown compressor {name!r}; choose from {sorted(_COMPRESSORS)}"
+        ) from None
+
+
 def assemble_from_plan(
     plan: BlockTreePlan,
     generator: Generator,
     max_rank: int | None = None,
     reqrank: int = -1,
+    compressor: str = "partial_aca",
 ) -> HMatrix:
-    """Assemble the flat H-matrix from a planned block tree."""
+    """Assemble the flat H-matrix from a planned block tree.
+
+    ``compressor``: "partial_aca" (default, the reference's sympartialACA
+    role), "full_aca", or "svd" (tree_builder.hpp:384-390 picks the
+    strategy; here it is a parameter)."""
     tt, st = plan.target_tree, plan.source_tree
     perm_t, perm_s = tt.permutation, st.permutation
     t0 = time.perf_counter()
@@ -104,7 +129,8 @@ def assemble_from_plan(
             rmax = min(max(rmax, reqrank), min(bm, bn))
         rmax = max(rmax, 1)
 
-        U, V, rank, failed = batched_partial_aca(
+        compress = _get_compressor(compressor)
+        U, V, rank, failed = compress(
             generator,
             rows,
             cols,
@@ -223,7 +249,9 @@ class HMatrixBuilder:
         min_source_depth: int = 0,
         max_rank: int | None = None,
         block_tree_consistency: bool = True,
+        compressor: str = "partial_aca",
     ):
+        self.compressor = compressor
         self.epsilon = epsilon
         self.eta = eta
         self.symmetry = symmetry
@@ -256,7 +284,11 @@ class HMatrixBuilder:
         )
         plan_time = time.perf_counter() - t0
         h = assemble_from_plan(
-            plan, generator, max_rank=self.max_rank, reqrank=self.reqrank
+            plan,
+            generator,
+            max_rank=self.max_rank,
+            reqrank=self.reqrank,
+            compressor=self.compressor,
         )
         h.info["block_tree_walltime"] = plan_time
         return h

@@ -88,10 +88,18 @@ def plan_block_tree(
     min_target_depth: int = 0,
     min_source_depth: int = 0,
     block_tree_consistency: bool = True,
+    leaf_level: int | None = None,
 ) -> BlockTreePlan:
-    """Plan the admissibility-pruned block tree (tree_builder.hpp:417-531)."""
+    """Plan the admissibility-pruned block tree (tree_builder.hpp:417-531).
+
+    ``leaf_level``: treat cluster nodes at this depth as leaves, producing a
+    uniform-grid (BLR-style) plan where every leaf is a depth-``leaf_level``
+    cell pair; implies min depths >= leaf_level."""
     if source_tree is None:
         source_tree = target_tree
+    if leaf_level is not None:
+        min_target_depth = max(min_target_depth, leaf_level)
+        min_source_depth = max(min_source_depth, leaf_level)
     if symmetry not in ("N", "S", "H"):
         raise ValueError(f"invalid symmetry {symmetry!r}")
     if (symmetry == "N") != (UPLO == "N"):
@@ -150,11 +158,17 @@ def plan_block_tree(
             ),
         )
 
+    def t_is_leaf(t):
+        return tt.is_leaf(t) or (leaf_level is not None and tt.depths[t] >= leaf_level)
+
+    def s_is_leaf(s):
+        return st.is_leaf(s) or (leaf_level is not None and st.depths[s] >= leaf_level)
+
     stack: list[tuple[int, int]] = [(0, 0)]
     while stack:
         t, s = stack.pop()
-        t_leaf = tt.is_leaf(t)
-        s_leaf = st.is_leaf(s)
+        t_leaf = t_is_leaf(t)
+        s_leaf = s_is_leaf(s)
         admissible = rjasanow_steinbach(
             tt.centers[t], tt.radii[t], st.centers[s], st.radii[s], eta
         )

@@ -118,6 +118,91 @@ def _schwarz_apply(idx, weights, lu, piv, r):
     return z[:N]
 
 
+@dataclass
+class BLRSchwarzPreconditioner:
+    """One-level Schwarz with BLR-compressed local factorizations — the
+    H-LU local solver mode (``LocalHMatrixSolver``,
+    ``solvers/local_solvers/local_hmatrix_solvers.hpp:14-85``): each
+    subdomain matrix is assembled as a BLR matrix and LU-factorized in
+    compressed form, so large subdomains stay sub-quadratic in memory."""
+
+    n_global: int
+    idx: list  # per-subdomain global cluster indices (host)
+    weights: list  # per-subdomain scatter weights (host np)
+    factors: list  # per-subdomain factorized BLRMatrix
+    variant: str = "ras"
+
+    def apply(self, r):
+        import jax.numpy as jnp
+
+        from ..hmatrix.blr import blr_solve
+
+        squeeze = r.ndim == 1
+        if squeeze:
+            r = r[:, None]
+        z = jnp.zeros_like(r)
+        for idx, w, F in zip(self.idx, self.weights, self.factors):
+            r_loc = r[jnp.asarray(idx)]
+            z_loc = blr_solve(F, r_loc, user_numbering=True)
+            z = z.at[jnp.asarray(idx)].add(
+                z_loc * jnp.asarray(w)[:, None].astype(z_loc.dtype)
+            )
+        return z[:, 0] if squeeze else z
+
+    def __call__(self, r):
+        return self.apply(r)
+
+
+def _build_blr_schwarz(
+    generator: Generator,
+    tree: ClusterTree,
+    overlap: Optional[list[np.ndarray]],
+    variant: str,
+    blr_epsilon: float = 1e-6,
+    blr_block_size: int = 256,
+) -> BLRSchwarzPreconditioner:
+    from ..clustering.cluster_tree import ClusterTreeBuilder
+    from ..generator import SubsetGenerator
+    from ..hmatrix.blr import blr_lu, build_blr
+
+    offs, sizes = tree.partition_offsets_sizes()
+    P = tree.n_partitions
+    perm = tree.permutation
+
+    idxs, wtss, factors = [], [], []
+    for p in range(P):
+        off, sz = int(offs[p]), int(sizes[p])
+        interior = np.arange(off, off + sz)
+        ov = (
+            np.asarray(overlap[p], np.int64)
+            if (overlap is not None and variant in ("asm", "ras"))
+            else np.zeros(0, np.int64)
+        )
+        idx = np.concatenate([interior, ov])
+        w = np.ones(idx.size)
+        if variant == "ras":
+            w[interior.size :] = 0.0
+        sub_user = perm[idx]
+        sub_pts = tree.points[sub_user]
+        sub_tree = ClusterTreeBuilder(
+            max_leaf_size=min(blr_block_size, max(32, idx.size // 8))
+        ).build(sub_pts)
+        sub_gen = SubsetGenerator(generator, sub_user)
+        B = build_blr(
+            sub_gen, sub_tree, epsilon=blr_epsilon, block_size=blr_block_size
+        )
+        factors.append(blr_lu(B))
+        idxs.append(idx)
+        wtss.append(w)
+    return BLRSchwarzPreconditioner(
+        n_global=tree.n_points,
+        idx=idxs,
+        weights=wtss,
+        factors=factors,
+        variant=variant,
+    )
+
+
 def _build_schwarz(
     generator: Generator,
     tree: ClusterTree,
@@ -199,6 +284,9 @@ class DDMSolver:
         overlap_radius: float = 0.0,
         coarse=None,  # optional GeneoCoarseSpace
         coarse_correction: str = "additive",
+        local_solver: str = "dense",  # "dense" (LAPACK-style) or "blr" (H-LU-style)
+        blr_epsilon: float = 1e-6,
+        blr_block_size: int = 256,
     ):
         self.tree = tree
         self.generator = generator
@@ -225,10 +313,19 @@ class DDMSolver:
         if schwarz in ("jacobi", "asm", "ras"):
             if overlap is None and overlap_radius > 0 and schwarz in ("asm", "ras"):
                 overlap = build_geometric_overlap(tree, overlap_radius)
-            self.precond = _build_schwarz(generator, tree, overlap, schwarz, dtype)
+            if local_solver == "blr":
+                self.precond = _build_blr_schwarz(
+                    generator, tree, overlap, schwarz, blr_epsilon, blr_block_size
+                )
+                self.infos["Local_solver"] = "blr"
+            elif local_solver == "dense":
+                self.precond = _build_schwarz(generator, tree, overlap, schwarz, dtype)
+                self.infos["Local_solver"] = "dense"
+                self.infos["Local_size_max"] = int(self.precond.n_sub_sizes.max())
+            else:
+                raise ValueError(f"unknown local solver {local_solver!r}")
             self.infos["Precond"] = schwarz
             self.infos["Nb_subdomains"] = tree.n_partitions
-            self.infos["Local_size_max"] = int(self.precond.n_sub_sizes.max())
         elif schwarz == "none":
             self.precond = None
             self.infos["Precond"] = "none"
