@@ -194,6 +194,7 @@ class ClusterTreeBuilder:
     n_children: int = 2
     direction: str = "pca"
     splitting: str = "regular"
+    backend: str = "auto"  # "auto" | "native" | "python"
 
     def build(
         self,
@@ -207,6 +208,30 @@ class ClusterTreeBuilder:
         points = np.ascontiguousarray(np.asarray(points, dtype=np.float64))
         if points.ndim != 2:
             raise ValueError("points must be [N, dim]")
+
+        if self.backend in ("auto", "native"):
+            from ..native import ct_build_native
+
+            out = ct_build_native(
+                points,
+                self.max_leaf_size,
+                self.n_children,
+                self.direction,
+                self.splitting,
+                n_partitions,
+                partition,
+                is_partition_local,
+                radii,
+                weights,
+            )
+            if out is not None:
+                return ClusterTree(
+                    points=points,
+                    max_leaf_size=self.max_leaf_size,
+                    **out,
+                )
+            if self.backend == "native":
+                raise RuntimeError("native planner unavailable (g++ compile failed)")
         N, dim = points.shape
         radii = (
             np.zeros(N) if radii is None else np.asarray(radii, dtype=np.float64)

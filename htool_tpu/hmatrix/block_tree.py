@@ -89,6 +89,7 @@ def plan_block_tree(
     min_source_depth: int = 0,
     block_tree_consistency: bool = True,
     leaf_level: int | None = None,
+    backend: str = "auto",
 ) -> BlockTreePlan:
     """Plan the admissibility-pruned block tree (tree_builder.hpp:417-531).
 
@@ -157,6 +158,35 @@ def plan_block_tree(
                 symmetry != "N" and int(tt.offsets[t]) != int(st.offsets[s])
             ),
         )
+
+    if backend in ("auto", "native"):
+        from ..native import bt_plan_native
+
+        res = bt_plan_native(
+            tt,
+            st,
+            eta,
+            symmetry,
+            UPLO,
+            target_partition,
+            min_target_depth,
+            min_source_depth,
+            block_tree_consistency,
+            leaf_level,
+        )
+        if res is not None:
+            dense, adm = res
+            plan.dense = [
+                BlockLeaf(int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4]), int(r[5]), bool(r[6]))
+                for r in dense
+            ]
+            plan.admissible = [
+                BlockLeaf(int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4]), int(r[5]), bool(r[6]))
+                for r in adm
+            ]
+            return plan
+        if backend == "native":
+            raise RuntimeError("native planner unavailable (g++ compile failed)")
 
     def t_is_leaf(t):
         return tt.is_leaf(t) or (leaf_level is not None and tt.depths[t] >= leaf_level)
