@@ -1,0 +1,114 @@
+"""H-matrix structure outputs — per-leaf CSV with ranks, for the plotting
+tools (``hmatrix/hmatrix_output.hpp``: ``save_leaves_with_rank:39``,
+``save_levels:58``) and H-matrix binary persistence."""
+
+from __future__ import annotations
+
+import csv
+
+import numpy as np
+
+from .hmatrix import DenseBucket, HMatrix, LowRankBucket
+
+__all__ = ["save_leaves_with_rank", "load_hmatrix", "save_hmatrix"]
+
+
+def save_leaves_with_rank(h: HMatrix, filename: str) -> None:
+    """CSV rows: t_off, t_size, s_off, s_size, kind, rank, mirror —
+    the block-picture input (tools/plot_hmatrix.py)."""
+    with open(filename, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["t_off", "t_size", "s_off", "s_size", "kind", "rank", "mirror"])
+        for b in h.dense_buckets:
+            t_off = np.asarray(b.t_off)
+            s_off = np.asarray(b.s_off)
+            t_sz = np.asarray(b.t_sizes)
+            s_sz = np.asarray(b.s_sizes)
+            for i in range(t_off.shape[0]):
+                w.writerow(
+                    [t_off[i], t_sz[i], s_off[i], s_sz[i], "dense", -1, int(b.mirror)]
+                )
+        for b in h.lr_buckets:
+            t_off = np.asarray(b.t_off)
+            s_off = np.asarray(b.s_off)
+            t_sz = np.asarray(b.t_sizes)
+            s_sz = np.asarray(b.s_sizes)
+            rk = np.asarray(b.ranks)
+            for i in range(t_off.shape[0]):
+                w.writerow(
+                    [t_off[i], t_sz[i], s_off[i], s_sz[i], "lr", rk[i], int(b.mirror)]
+                )
+
+
+def save_hmatrix(h: HMatrix, filename: str) -> None:
+    """Persist the full compressed H-matrix (npz).  The reference does not
+    serialize H-matrices (SURVEY.md §5 checkpoint/resume); this closes that
+    gap for checkpoint/restore of assembled operators."""
+    payload = dict(
+        shape=np.array(h.shape),
+        symmetry=np.array([h.symmetry]),
+        UPLO=np.array([h.UPLO]),
+        t_root_off=np.array([h.t_root_off]),
+        perm_t=np.asarray(h.perm_t),
+        perm_s=np.asarray(h.perm_s),
+        n_dense=np.array([len(h.dense_buckets)]),
+        n_lr=np.array([len(h.lr_buckets)]),
+    )
+    for k, b in enumerate(h.dense_buckets):
+        payload[f"d{k}_data"] = np.asarray(b.data)
+        payload[f"d{k}_t_off"] = np.asarray(b.t_off)
+        payload[f"d{k}_s_off"] = np.asarray(b.s_off)
+        payload[f"d{k}_t_sizes"] = np.asarray(b.t_sizes)
+        payload[f"d{k}_s_sizes"] = np.asarray(b.s_sizes)
+        payload[f"d{k}_mirror"] = np.array([int(b.mirror)])
+    for k, b in enumerate(h.lr_buckets):
+        payload[f"l{k}_U"] = np.asarray(b.U)
+        payload[f"l{k}_V"] = np.asarray(b.V)
+        payload[f"l{k}_t_off"] = np.asarray(b.t_off)
+        payload[f"l{k}_s_off"] = np.asarray(b.s_off)
+        payload[f"l{k}_t_sizes"] = np.asarray(b.t_sizes)
+        payload[f"l{k}_s_sizes"] = np.asarray(b.s_sizes)
+        payload[f"l{k}_ranks"] = np.asarray(b.ranks)
+        payload[f"l{k}_mirror"] = np.array([int(b.mirror)])
+    np.savez_compressed(filename, **payload)
+
+
+def load_hmatrix(filename: str) -> HMatrix:
+    import jax.numpy as jnp
+
+    z = np.load(filename, allow_pickle=False)
+    dense, lr = [], []
+    for k in range(int(z["n_dense"][0])):
+        dense.append(
+            DenseBucket(
+                data=jnp.asarray(z[f"d{k}_data"]),
+                t_off=jnp.asarray(z[f"d{k}_t_off"]),
+                s_off=jnp.asarray(z[f"d{k}_s_off"]),
+                t_sizes=z[f"d{k}_t_sizes"],
+                s_sizes=z[f"d{k}_s_sizes"],
+                mirror=bool(z[f"d{k}_mirror"][0]),
+            )
+        )
+    for k in range(int(z["n_lr"][0])):
+        lr.append(
+            LowRankBucket(
+                U=jnp.asarray(z[f"l{k}_U"]),
+                V=jnp.asarray(z[f"l{k}_V"]),
+                t_off=jnp.asarray(z[f"l{k}_t_off"]),
+                s_off=jnp.asarray(z[f"l{k}_s_off"]),
+                t_sizes=z[f"l{k}_t_sizes"],
+                s_sizes=z[f"l{k}_s_sizes"],
+                ranks=z[f"l{k}_ranks"],
+                mirror=bool(z[f"l{k}_mirror"][0]),
+            )
+        )
+    return HMatrix(
+        shape=tuple(int(x) for x in z["shape"]),
+        dense_buckets=dense,
+        lr_buckets=lr,
+        perm_t=jnp.asarray(z["perm_t"]),
+        perm_s=jnp.asarray(z["perm_s"]),
+        symmetry=str(z["symmetry"][0]),
+        UPLO=str(z["UPLO"][0]),
+        t_root_off=int(z["t_root_off"][0]),
+    )

@@ -1,0 +1,3 @@
+from .logger import Logger, LogLevel, logger
+
+__all__ = ["Logger", "LogLevel", "logger"]
