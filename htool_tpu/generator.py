@@ -15,10 +15,11 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Generator", "KernelGenerator", "MatrixGenerator"]
+__all__ = ["Generator", "KernelGenerator", "MatrixGenerator", "SubsetGenerator"]
 
 
 class Generator:
@@ -99,3 +100,51 @@ class MatrixGenerator(Generator):
         rows = jnp.asarray(rows)
         cols = jnp.asarray(cols)
         return self.matrix[rows[..., :, None], cols[..., None, :]]
+
+
+# ----------------------------------------------------------------------
+# pytree registration
+#
+# Generators are passed INTO jitted kernels (assembly, ACA) as pytree
+# arguments, never closed over: a closed-over coordinate/matrix array gets
+# baked into the HLO as a constant, which blows XLA compile time up by
+# orders of magnitude (observed 400s -> 1s on the TPU remote-compile path).
+# ----------------------------------------------------------------------
+
+
+def _kernel_flatten(g: KernelGenerator):
+    return (g.target_points, g.source_points), (g.kernel, g.dtype, g.shape)
+
+
+def _kernel_unflatten(aux, leaves):
+    g = object.__new__(KernelGenerator)
+    g.target_points, g.source_points = leaves
+    g.kernel, g.dtype, g.shape = aux
+    return g
+
+
+def _matrix_flatten(g: MatrixGenerator):
+    return (g.matrix,), (g.dtype, g.shape)
+
+
+def _matrix_unflatten(aux, leaves):
+    g = object.__new__(MatrixGenerator)
+    (g.matrix,) = leaves
+    g.dtype, g.shape = aux
+    return g
+
+
+def _subset_flatten(g: SubsetGenerator):
+    return (g.base, g.row_index, g.col_index), (g.dtype, g.shape)
+
+
+def _subset_unflatten(aux, leaves):
+    g = object.__new__(SubsetGenerator)
+    g.base, g.row_index, g.col_index = leaves
+    g.dtype, g.shape = aux
+    return g
+
+
+jax.tree_util.register_pytree_node(KernelGenerator, _kernel_flatten, _kernel_unflatten)
+jax.tree_util.register_pytree_node(MatrixGenerator, _matrix_flatten, _matrix_unflatten)
+jax.tree_util.register_pytree_node(SubsetGenerator, _subset_flatten, _subset_unflatten)

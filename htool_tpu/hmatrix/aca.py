@@ -28,7 +28,7 @@ import jax.numpy as jnp
 __all__ = ["batched_partial_aca"]
 
 
-@partial(jax.jit, static_argnames=("gen", "rmax", "reqrank"))
+@partial(jax.jit, static_argnames=("rmax", "reqrank"))
 def batched_partial_aca(
     gen,
     rows,  # [nb, m] int — user-numbering row indices (padded entries clamped)

@@ -28,18 +28,33 @@ from .hmatrix import DenseBucket, HMatrix, LowRankBucket
 __all__ = ["HMatrixBuilder", "build_hmatrix", "assemble_from_plan"]
 
 
-def _pad_dim(s: int) -> int:
-    """Pad a block dimension: multiple of 8 (f32 sublane), capped waste."""
+def _pad_dim(s: int, mode: str = "pow2") -> int:
+    """Pad a block dimension.
+
+    ``mode='mult8'``: next multiple of 8 (tightest memory, one compiled
+    kernel per distinct shape).  ``mode='pow2'`` (default): next power of
+    two — a few×  more padded FLOPs, but collapses the per-level shape zoo
+    into ~log2 distinct buckets, which matters because each distinct shape
+    costs a full XLA compile (~seconds on the remote-compile TPU path while
+    device time is milliseconds)."""
     if s <= 8:
         return 8
-    return int(-(-s // 8) * 8)
+    if mode == "mult8":
+        return int(-(-s // 8) * 8)
+    p = 8
+    while p < s:
+        p *= 2
+    return p
 
 
 def _pad_rank(r: int) -> int:
-    return max(8, int(-(-r // 8) * 8))
+    p = 8
+    while p < r:
+        p *= 2
+    return p
 
 
-@partial(jax.jit, static_argnames=("gen",))
+@jax.jit
 def _assemble_dense_bucket(gen, rows, cols, t_sizes, s_sizes):
     """rows [nb, bm], cols [nb, bn] (user numbering, padded entries clamped).
     Returns data [nb, bm, bn] with padded rows/cols zeroed."""

@@ -37,7 +37,7 @@ def _masks(nb, m, n, t_sizes, s_sizes):
     return row, col
 
 
-@partial(jax.jit, static_argnames=("gen", "rmax", "reqrank"))
+@partial(jax.jit, static_argnames=("rmax", "reqrank"))
 def batched_full_aca(gen, rows, cols, t_sizes, s_sizes, epsilon, rmax, reqrank=-1):
     """Full-pivot ACA on assembled blocks (fullACA.hpp:16-89).
 
@@ -132,7 +132,7 @@ def svd_truncation_rank(s, epsilon):
     return jnp.sum(keep, axis=1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("gen", "rmax", "reqrank"))
+@partial(jax.jit, static_argnames=("rmax", "reqrank"))
 def batched_svd_compress(gen, rows, cols, t_sizes, s_sizes, epsilon, rmax, reqrank=-1):
     """Truncated-SVD compressor (SVD.hpp:15-93): assemble, SVD, keep the
     epsilon-rank (or reqrank).  Returns (U, V, rank, failed)."""
