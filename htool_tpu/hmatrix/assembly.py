@@ -265,8 +265,10 @@ class HMatrixBuilder:
         max_rank: int | None = None,
         block_tree_consistency: bool = True,
         compressor: str = "partial_aca",
+        partition_number_for_symmetry: int = -1,
     ):
         self.compressor = compressor
+        self.partition_number_for_symmetry = partition_number_for_symmetry
         self.epsilon = epsilon
         self.eta = eta
         self.symmetry = symmetry
@@ -296,6 +298,7 @@ class HMatrixBuilder:
             min_target_depth=self.min_target_depth,
             min_source_depth=self.min_source_depth,
             block_tree_consistency=self.block_tree_consistency,
+            partition_number_for_symmetry=self.partition_number_for_symmetry,
         )
         plan_time = time.perf_counter() - t0
         h = assemble_from_plan(

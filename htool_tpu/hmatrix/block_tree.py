@@ -90,6 +90,7 @@ def plan_block_tree(
     block_tree_consistency: bool = True,
     leaf_level: int | None = None,
     backend: str = "auto",
+    partition_number_for_symmetry: int = -1,
 ) -> BlockTreePlan:
     """Plan the admissibility-pruned block tree (tree_builder.hpp:417-531).
 
@@ -128,14 +129,37 @@ def plan_block_tree(
     def in_target_partition(t: int) -> bool:
         return target_partition == -1 or tt.ranks[t] == target_partition
 
+    pns = partition_number_for_symmetry
+    if pns >= 0:
+        pns_t = int(tt.partition_roots[pns])
+        pns_s = int(st.partition_roots[pns])
+        pns_t_off, pns_t_end = int(tt.offsets[pns_t]), int(
+            tt.offsets[pns_t] + tt.sizes[pns_t]
+        )
+        pns_s_off, pns_s_end = int(st.offsets[pns_s]), int(
+            st.offsets[pns_s] + st.sizes[pns_s]
+        )
+
+    def in_pns_diag(t: int, s: int) -> bool:
+        """Block lies in the symmetric region: globally for pns == -1, else
+        inside the pns diagonal partition block (tree_builder.hpp:95-111)."""
+        if pns < 0:
+            return True
+        return (
+            pns_t_off <= tt.offsets[t]
+            and tt.offsets[t] + tt.sizes[t] <= pns_t_end
+            and pns_s_off <= st.offsets[s]
+            and st.offsets[s] + st.sizes[s] <= pns_s_end
+        )
+
     def removed_by_symmetry(t: int, s: int) -> bool:
-        # global symmetry pruning (partition_number_for_symmetry == -1 case of
-        # tree_builder.hpp:95-111)
+        # symmetry pruning, optionally restricted to the pns diagonal
+        # partition block (tree_builder.hpp:95-111)
         if symmetry == "N":
             return False
         if UPLO == "U":
-            return tt.offsets[t] >= st.offsets[s] + st.sizes[s]
-        return st.offsets[s] >= tt.offsets[t] + tt.sizes[t]
+            return tt.offsets[t] >= st.offsets[s] + st.sizes[s] and in_pns_diag(t, s)
+        return st.offsets[s] >= tt.offsets[t] + tt.sizes[t] and in_pns_diag(t, s)
 
     def partition_roots_within(tree: ClusterTree, node: int):
         off, size = tree.offsets[node], tree.sizes[node]
@@ -154,8 +178,12 @@ def plan_block_tree(
             t_size=int(tt.sizes[t]),
             s_off=int(st.offsets[s]),
             s_size=int(st.sizes[s]),
+            # mirrored contribution needed only for off-diagonal leaves in
+            # the symmetric region (whose transposed counterpart was pruned)
             mirror=(
-                symmetry != "N" and int(tt.offsets[t]) != int(st.offsets[s])
+                symmetry != "N"
+                and int(tt.offsets[t]) != int(st.offsets[s])
+                and in_pns_diag(t, s)
             ),
         )
 
@@ -173,6 +201,7 @@ def plan_block_tree(
             min_source_depth,
             block_tree_consistency,
             leaf_level,
+            partition_number_for_symmetry,
         )
         if res is not None:
             dense, adm = res

@@ -144,14 +144,16 @@ class HMatrix:
 
 
 def _flatten_h(h: HMatrix):
-    leaves = (h.dense_buckets, h.lr_buckets, h.perm_t, h.perm_s)
-    aux = (h.shape, h.symmetry, h.UPLO, h.t_root_off, h.s_root_off)
+    # t_root_off rides as a LEAF so a per-device (traced) row offset can be
+    # used inside shard_map for partition-restricted symmetric storage
+    leaves = (h.dense_buckets, h.lr_buckets, h.perm_t, h.perm_s, h.t_root_off)
+    aux = (h.shape, h.symmetry, h.UPLO, h.s_root_off)
     return leaves, aux
 
 
 def _unflatten_h(aux, leaves):
-    dense_buckets, lr_buckets, perm_t, perm_s = leaves
-    shape, symmetry, UPLO, t_root_off, s_root_off = aux
+    dense_buckets, lr_buckets, perm_t, perm_s, t_root_off = leaves
+    shape, symmetry, UPLO, s_root_off = aux
     return HMatrix(
         shape=shape,
         dense_buckets=dense_buckets,

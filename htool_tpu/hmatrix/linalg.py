@@ -75,20 +75,23 @@ def _apply_lr(U, V, xg, mode):
 
 
 def _bucket_terms(bucket, op: str, symmetry: str):
-    """Yield (in_side, out_side, mode) contribution terms for a bucket under
-    product op in {'N','T','C'}.
+    """Yield (in_side, out_side, mode, is_mirror) contribution terms for a
+    bucket under product op in {'N','T','C'}.
 
     The stored block A sits at (t, s).  A symmetric matrix additionally has
     g(A) at (s, t) with g = transpose ('S') or conj-transpose ('H') for
-    mirror buckets.  Sides are 't' or 's'.
+    mirror buckets.  Sides are 't' or 's'.  For partition-restricted
+    symmetric storage, mirror blocks live inside the diagonal partition
+    block, so their 's'-side offsets are in ROW (local) space — the caller
+    localizes the 's' side of mirror terms and the 't' side of stored terms.
     """
     terms = []
     if op == "N":
-        terms.append(("s", "t", "N"))
+        terms.append(("s", "t", "N", False))
     elif op == "T":
-        terms.append(("t", "s", "T"))
+        terms.append(("t", "s", "T", False))
     elif op == "C":
-        terms.append(("t", "s", "C"))
+        terms.append(("t", "s", "C", False))
     else:
         raise ValueError(op)
 
@@ -103,9 +106,9 @@ def _bucket_terms(bucket, op: str, symmetry: str):
             raise ValueError("mirror bucket in non-symmetric matrix")
         mode = mirror_modes[op]
         if op == "N":
-            terms.append(("t", "s", mode))
+            terms.append(("t", "s", mode, True))
         else:
-            terms.append(("s", "t", mode))
+            terms.append(("s", "t", mode, True))
     return terms
 
 
@@ -145,11 +148,20 @@ def matvec(h: HMatrix, x, op: str = "N"):
     for bucket in h.dense_buckets + h.lr_buckets:
         is_dense = isinstance(bucket, DenseBucket)
         bm, bn = bucket.block_shape
-        for in_side, out_side, mode in _bucket_terms(bucket, op, h.symmetry):
-            # target offsets are local to the (possibly partition-restricted)
-            # target root; source offsets are global
-            in_off = bucket.t_off - h.t_root_off if in_side == "t" else bucket.s_off
-            out_off = bucket.t_off - h.t_root_off if out_side == "t" else bucket.s_off
+        for in_side, out_side, mode, is_mirror in _bucket_terms(
+            bucket, op, h.symmetry
+        ):
+            # the "row/local" side (localized by t_root_off) is 't' for
+            # stored terms and 's' for mirror terms (mirror blocks sit in
+            # the diagonal partition block, see _bucket_terms)
+            local_side = "s" if is_mirror else "t"
+
+            def off_of(side):
+                base = bucket.t_off if side == "t" else bucket.s_off
+                return base - h.t_root_off if side == local_side else base
+
+            in_off = off_of(in_side)
+            out_off = off_of(out_side)
             in_w = bm if in_side == "t" else bn
             out_w = bm if out_side == "t" else bn
             xg = _gather(x_pad, in_off, in_w)

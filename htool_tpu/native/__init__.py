@@ -93,6 +93,7 @@ def _setup(lib):
             ctypes.c_int64,
             ctypes.c_int,
             ctypes.c_int64,
+            ctypes.c_int64,
         ]
     )
     lib.bt_n_dense.restype = ctypes.c_int64
@@ -250,6 +251,7 @@ def bt_plan_native(
     min_source_depth: int,
     consistency: bool,
     leaf_level,
+    partition_number_for_symmetry: int = -1,
 ):
     """Run the native block-tree planner; returns (dense, admissible)
     [n, 7] int64 arrays or None when unavailable."""
@@ -272,6 +274,7 @@ def bt_plan_native(
         int(min_source_depth),
         1 if consistency else 0,
         -1 if leaf_level is None else int(leaf_level),
+        int(partition_number_for_symmetry),
     )
     try:
         nd = lib.bt_n_dense(h)

@@ -409,7 +409,8 @@ void *bt_plan(
     // parameters
     double eta, int symmetry /*0 N,1 S,2 H*/, int uplo /*0 N,1 L,2 U*/,
     int64_t target_partition, int64_t min_target_depth,
-    int64_t min_source_depth, int consistency, int64_t leaf_level) {
+    int64_t min_source_depth, int consistency, int64_t leaf_level,
+    int64_t partition_number_for_symmetry) {
     TreeView T{t_offsets, t_sizes,  t_depths,          t_child_start,
                t_child_count, t_children, t_ranks, t_partition_roots,
                t_centers, t_radii,  t_n_nodes,         t_n_partitions,
@@ -438,11 +439,29 @@ void *bt_plan(
     auto in_partition = [&](int64_t t) {
         return target_partition < 0 || T.ranks[t] == target_partition;
     };
+    // symmetric region bounds (global, or the pns diagonal partition block)
+    int64_t pns = partition_number_for_symmetry;
+    int64_t pns_t_off = 0, pns_t_end = 0, pns_s_off = 0, pns_s_end = 0;
+    if (pns >= 0) {
+        int64_t rt = T.partition_roots[pns], rs = S.partition_roots[pns];
+        pns_t_off = T.offsets[rt];
+        pns_t_end = T.offsets[rt] + T.sizes[rt];
+        pns_s_off = S.offsets[rs];
+        pns_s_end = S.offsets[rs] + S.sizes[rs];
+    }
+    auto in_pns_diag = [&](int64_t t, int64_t s) {
+        if (pns < 0) return true;
+        return pns_t_off <= T.offsets[t] &&
+               T.offsets[t] + T.sizes[t] <= pns_t_end &&
+               pns_s_off <= S.offsets[s] &&
+               S.offsets[s] + S.sizes[s] <= pns_s_end;
+    };
     auto removed_by_symmetry = [&](int64_t t, int64_t s) {
         if (symmetry == 0) return false;
         if (uplo == 2)  // U
-            return T.offsets[t] >= S.offsets[s] + S.sizes[s];
-        return S.offsets[s] >= T.offsets[t] + T.sizes[t];
+            return T.offsets[t] >= S.offsets[s] + S.sizes[s] &&
+                   in_pns_diag(t, s);
+        return S.offsets[s] >= T.offsets[t] + T.sizes[t] && in_pns_diag(t, s);
     };
     auto t_is_leaf = [&](int64_t t) {
         return T.is_leaf(t) || (leaf_level >= 0 && T.depths[t] >= leaf_level);
@@ -457,7 +476,10 @@ void *bt_plan(
         out.push_back(T.sizes[t]);
         out.push_back(S.offsets[s]);
         out.push_back(S.sizes[s]);
-        out.push_back(symmetry != 0 && T.offsets[t] != S.offsets[s] ? 1 : 0);
+        out.push_back(symmetry != 0 && T.offsets[t] != S.offsets[s] &&
+                              in_pns_diag(t, s)
+                          ? 1
+                          : 0);
     };
     auto proots_within = [&](const TreeView &V, int64_t n,
                              std::vector<int64_t> &out) {

@@ -78,6 +78,8 @@ class DistributedHMatrix:
     _compact_idx: Any = None  # [M] int32
     # scatter map: padded [P * m_loc_max] <- compact (with trash slot)
     _pad_idx: Any = None  # [P * m_loc_max] int32 into [M+1]
+    # per-device partition row offsets, sharded over the mesh
+    _t_root: Any = None  # [P] int32
 
     @property
     def dtype(self):
@@ -88,18 +90,21 @@ class DistributedHMatrix:
         return jnp.float32
 
     # ------------------------------------------------------------------
-    def _local_hmatrix(self, dense_slices, lr_slices) -> HMatrix:
+    def _local_hmatrix(self, dense_slices, lr_slices, t_root_off) -> HMatrix:
         """Build a plain HMatrix view from per-device bucket slices (used
-        inside shard_map)."""
+        inside shard_map).  Bucket offsets are GLOBAL; ``t_root_off`` is the
+        device's partition row offset (traced inside shard_map), which
+        localizes the 't' side of stored terms and the 's' side of mirror
+        terms (see linalg._bucket_terms)."""
         return HMatrix(
             shape=(self.m_loc_max, self.shape[1]),
             dense_buckets=dense_slices,
             lr_buckets=lr_slices,
             perm_t=self.perm_t,
             perm_s=self.perm_s,
-            symmetry="N",  # mirror terms are handled as explicit blocks
-            UPLO="N",
-            t_root_off=0,
+            symmetry=self.symmetry,
+            UPLO=self.UPLO,
+            t_root_off=t_root_off,
         )
 
     # ------------------------------------------------------------------
@@ -177,9 +182,9 @@ class DistributedHMatrix:
                 LowRankBucket(b.U[p], b.V[p], b.t_off[p], b.s_off[p], b.t_sizes[p], b.s_sizes[p], b.ranks[p], b.mirror)
                 for b in self.lr_buckets
             ]
-            h = self._local_hmatrix(dense_slices, lr_slices)
-            Al = h.to_dense(user_numbering=False)
             off, sz = int(self.part_offsets[p]), int(self.part_sizes[p])
+            h = self._local_hmatrix(dense_slices, lr_slices, off)
+            Al = h.to_dense(user_numbering=False)
             A[off : off + sz] += Al[:sz]
         if user_numbering:
             perm_t = np.asarray(self.perm_t)
@@ -198,6 +203,7 @@ def _flatten_dh(d: DistributedHMatrix):
         d.perm_s,
         d._compact_idx,
         d._pad_idx,
+        d._t_root,
     )
     aux = (
         d.shape,
@@ -214,7 +220,7 @@ def _flatten_dh(d: DistributedHMatrix):
 
 
 def _unflatten_dh(aux, leaves):
-    dense_buckets, lr_buckets, perm_t, perm_s, compact_idx, pad_idx = leaves
+    dense_buckets, lr_buckets, perm_t, perm_s, compact_idx, pad_idx, t_root = leaves
     shape, n_partitions, part_offsets, part_sizes, m_loc_max, mesh, axis_name, symmetry, UPLO = aux
     d = DistributedHMatrix(
         shape=shape,
@@ -233,6 +239,7 @@ def _unflatten_dh(aux, leaves):
     )
     d._compact_idx = compact_idx
     d._pad_idx = pad_idx
+    d._t_root = t_root
     return d
 
 
@@ -264,29 +271,29 @@ def _dist_matvec_g2g(d: DistributedHMatrix, xc, op: str):
 
     if op == "N":
 
-        def local_fn(dense_sl, lr_sl, x_full):
+        def local_fn(dense_sl, lr_sl, x_full, t_root_loc):
             dense_sl = [jax.tree.map(lambda a: a[0], b) for b in dense_sl]
             lr_sl = [jax.tree.map(lambda a: a[0], b) for b in lr_sl]
-            h = d._local_hmatrix(dense_sl, lr_sl)
+            h = d._local_hmatrix(dense_sl, lr_sl, t_root_loc[0])
             y = _local_matvec(h, x_full, op="N")  # [m_loc_max, k]
             return y
 
         y_pad = jax.shard_map(
             local_fn,
             mesh=mesh,
-            in_specs=(bucket_specs_dense, bucket_specs_lr, P()),
+            in_specs=(bucket_specs_dense, bucket_specs_lr, P(), P(ax)),
             out_specs=P(ax),
             check_vma=False,
-        )(dense_bs, lr_bs, xc)
+        )(dense_bs, lr_bs, xc, d._t_root)
         # [P * m_loc_max, k] -> compact [M, k]
         return y_pad[d._compact_idx]
 
     # 'T' / 'C': local transposed products summed across devices (the
     # MPI_Allreduce path, ...g2g.hpp:78)
-    def local_fn_t(dense_sl, lr_sl, x_loc):
+    def local_fn_t(dense_sl, lr_sl, x_loc, t_root_loc):
         dense_sl = [jax.tree.map(lambda a: a[0], b) for b in dense_sl]
         lr_sl = [jax.tree.map(lambda a: a[0], b) for b in lr_sl]
-        h = d._local_hmatrix(dense_sl, lr_sl)
+        h = d._local_hmatrix(dense_sl, lr_sl, t_root_loc[0])
         y = _local_matvec(h, x_loc, op=op)  # [N_glob, k]
         return jax.lax.psum(y, ax)
 
@@ -297,10 +304,10 @@ def _dist_matvec_g2g(d: DistributedHMatrix, xc, op: str):
     y = jax.shard_map(
         local_fn_t,
         mesh=mesh,
-        in_specs=(bucket_specs_dense, bucket_specs_lr, P(ax)),
+        in_specs=(bucket_specs_dense, bucket_specs_lr, P(ax), P(ax)),
         out_specs=P(),
         check_vma=False,
-    )(dense_bs, lr_bs, x_pad_all)
+    )(dense_bs, lr_bs, x_pad_all, d._t_root)
     return y
 
 
@@ -326,10 +333,10 @@ def _dist_matvec_l2l(d: DistributedHMatrix, x_loc, op: str):
     pad_idx = d._pad_idx
     k = x_loc.shape[1]
 
-    def local_fn(dense_sl, lr_sl, x_slice):
+    def local_fn(dense_sl, lr_sl, x_slice, t_root_loc):
         dense_sl = [jax.tree.map(lambda a: a[0], b) for b in dense_sl]
         lr_sl = [jax.tree.map(lambda a: a[0], b) for b in lr_sl]
-        h = d._local_hmatrix(dense_sl, lr_sl)
+        h = d._local_hmatrix(dense_sl, lr_sl, t_root_loc[0])
         if op == "N":
             # gather the global vector, then local block-row product
             x_all = jax.lax.all_gather(x_slice, ax)  # [P, m_loc_max, k]
@@ -345,10 +352,10 @@ def _dist_matvec_l2l(d: DistributedHMatrix, x_loc, op: str):
     return jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(bucket_specs_dense, bucket_specs_lr, P(ax)),
+        in_specs=(bucket_specs_dense, bucket_specs_lr, P(ax), P(ax)),
         out_specs=P(ax),
         check_vma=False,
-    )(dense_bs, lr_bs, x_loc)
+    )(dense_bs, lr_bs, x_loc, d._t_root)
 
 
 # ----------------------------------------------------------------------
@@ -372,16 +379,12 @@ def build_distributed_hmatrix(
     ``distributed_operator/utility.hpp:37-61``), stacked into device-axis
     bucket arrays and placed with a NamedSharding over the mesh.
 
-    Note: symmetric storage across partitions needs the reference's
-    ``partition_number_for_symmetry`` logic; for now the distributed
-    operator stores all blocks explicitly (symmetry handled by the planner
-    pruning being disabled), which keeps products simple and SPMD-uniform.
+    With ``symmetry`` in {'S','H'}, each device prunes the upper/lower
+    triangle of ITS diagonal partition block only
+    (``partition_number_for_symmetry=rank``, tree_builder.hpp:95-111) and
+    products add the mirrored contributions locally — the reference's
+    distributed symmetric storage.
     """
-    if symmetry != "N":
-        raise NotImplementedError(
-            "distributed symmetric storage not yet implemented; build with "
-            "symmetry='N' (results are identical, storage ~2x)"
-        )
     if mesh is None:
         mesh = default_mesh()
     ax = mesh.axis_names[0]
@@ -392,9 +395,12 @@ def build_distributed_hmatrix(
         )
     st = source_tree if source_tree is not None else tree
 
-    builder = HMatrixBuilder(epsilon=epsilon, eta=eta, symmetry="N", UPLO="N", **kwargs)
+    builder = HMatrixBuilder(
+        epsilon=epsilon, eta=eta, symmetry=symmetry, UPLO=UPLO, **kwargs
+    )
     locals_: list[HMatrix] = []
     for p in range(Pn):
+        builder.partition_number_for_symmetry = p if symmetry != "N" else -1
         locals_.append(builder.build(generator, tree, st, target_partition=p))
 
     part_offsets, part_sizes = tree.partition_offsets_sizes()
@@ -443,9 +449,10 @@ def build_distributed_hmatrix(
                 data = jnp.concatenate(
                     [data, jnp.zeros((padn, bm, bn), data.dtype if nb else generator.dtype)], axis=0
                 )
-                # localize target offsets to the partition; pad blocks sit at 0
+                # offsets stay GLOBAL; padded blocks point at the partition
+                # start (zero data -> zero contribution)
                 t_loc = jnp.concatenate(
-                    [t_off - int(part_offsets[p]), jnp.zeros((padn,), jnp.int32)]
+                    [t_off, jnp.full((padn,), int(part_offsets[p]), jnp.int32)]
                 )
                 s_off = jnp.concatenate([s_off, jnp.zeros((padn,), jnp.int32)])
                 t_sz = np.concatenate([t_sz, np.zeros(padn, np.int64)])
@@ -484,7 +491,7 @@ def build_distributed_hmatrix(
                 U = jnp.concatenate([U, jnp.zeros((padn, bm, rp), U.dtype if nb else generator.dtype)])
                 V = jnp.concatenate([V, jnp.zeros((padn, rp, bn), V.dtype if nb else generator.dtype)])
                 t_loc = jnp.concatenate(
-                    [t_off - int(part_offsets[p]), jnp.zeros((padn,), jnp.int32)]
+                    [t_off, jnp.full((padn,), int(part_offsets[p]), jnp.int32)]
                 )
                 s_off = jnp.concatenate([s_off, jnp.zeros((padn,), jnp.int32)])
                 t_sz = np.concatenate([t_sz, np.zeros(padn, np.int64)])
@@ -526,8 +533,11 @@ def build_distributed_hmatrix(
         m_loc_max=m_loc_max,
         mesh=mesh,
         axis_name=ax,
-        symmetry="N",
-        UPLO="N",
+        symmetry=symmetry,
+        UPLO=UPLO,
+    )
+    d._t_root = jax.device_put(
+        jnp.asarray(part_offsets, jnp.int32), NamedSharding(mesh, P(ax))
     )
     d._compact_idx = jnp.asarray(compact, jnp.int32)
     d._pad_idx = jnp.asarray(pad_map, jnp.int32)

@@ -86,3 +86,47 @@ def test_mesh_partition_mismatch():
     gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
     with pytest.raises(ValueError):
         build_distributed_hmatrix(gen, tree, default_mesh(4), epsilon=EPS)
+
+
+@pytest.mark.parametrize("P", [2, 4])
+@pytest.mark.parametrize("symmetry,UPLO", [("S", "L"), ("S", "U"), ("H", "L")])
+def test_distributed_symmetric_storage(P, symmetry, UPLO):
+    """Symmetric distributed storage: each device prunes its diagonal
+    partition block (partition_number_for_symmetry) and products add mirror
+    terms locally — results match dense, storage is reduced."""
+    from htool_tpu.testing import laplace_kernel_hermitian
+
+    kern = laplace_kernel_hermitian if symmetry == "H" else laplace_kernel_symmetric
+    n = 500
+    pts = create_sphere(n)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=40, n_partitions=P)
+    gen = ht.KernelGenerator(kern, pts, pts)
+    mesh = default_mesh(P)
+    D = build_distributed_hmatrix(
+        gen, tree, mesh, epsilon=EPS, eta=10.0, symmetry=symmetry, UPLO=UPLO
+    )
+    A = np.asarray(gen.to_dense())
+    assert np.linalg.norm(D.to_dense() - A) / np.linalg.norm(A) < EPS
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(n, 2)
+    if symmetry == "H":
+        x = x + 1j * rng.randn(n, 2)
+    for op in ["N", "T", "C"]:
+        y = np.asarray(D.matvec(x, op=op))
+        Aop = A if op == "N" else (A.T if op == "T" else np.conj(A.T))
+        ref = Aop @ x
+        assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 10 * EPS, op
+
+    # symmetric storage must be smaller than full storage
+    D_full = build_distributed_hmatrix(gen, tree, mesh, epsilon=EPS, eta=10.0)
+    def stored(d):
+        tot = 0
+        for b in d.dense_buckets:
+            tot += int(np.sum(np.asarray(b.t_sizes) * np.asarray(b.s_sizes)))
+        for b in d.lr_buckets:
+            tot += int(
+                np.sum(np.asarray(b.ranks) * (np.asarray(b.t_sizes) + np.asarray(b.s_sizes)))
+            )
+        return tot
+    assert stored(D) < stored(D_full)
