@@ -39,6 +39,11 @@ def main():
     )
     tree = ht.build_cluster_tree(pts, max_leaf_size=256)
 
+    # claim the device before timing (the axon chip claim can take minutes
+    # right after another process released it; that's environment setup,
+    # not assembly cost)
+    jnp.zeros(()).block_until_ready()
+
     t0 = time.perf_counter()
     H = ht.build_hmatrix(gen, tree, epsilon=eps, eta=10.0)
     jax.block_until_ready([b.data for b in H.dense_buckets])

@@ -115,15 +115,19 @@ def assemble_from_plan(
     n_false_positive = 0
 
     # ---------------- group leaves by (padded shape, mirror) ----------------
-    def group(leaves):
+    # dense buckets store at tight mult8 shapes (their gather kernels are
+    # cheap to compile); admissible buckets use pow2 COMPUTE shapes so the
+    # expensive ACA kernel compiles only ~log2 times, then storage is
+    # re-tightened below
+    def group(leaves, mode):
         groups: dict[tuple[int, int, bool], list] = {}
         for l in leaves:
-            key = (_pad_dim(l.t_size), _pad_dim(l.s_size), l.mirror)
+            key = (_pad_dim(l.t_size, mode), _pad_dim(l.s_size, mode), l.mirror)
             groups.setdefault(key, []).append(l)
         return groups
 
-    dense_groups = group(plan.dense)
-    adm_groups = group(plan.admissible)
+    dense_groups = group(plan.dense, "mult8")
+    adm_groups = group(plan.admissible, "pow2")
 
     # ---------------- admissible leaves: batched ACA ----------------
     for (bm, bn, mirror), leaves in sorted(adm_groups.items()):
@@ -158,19 +162,28 @@ def assemble_from_plan(
         rank = np.asarray(rank)
         failed = np.asarray(failed)
 
-        # --- successful blocks: re-pack into rank classes ---
+        # --- successful blocks: re-pack into tight storage buckets ---
+        # ACA ran at the pow2 compute shape (few compiled kernels); storage
+        # slices the factors back to mult8 block/rank classes so products
+        # don't pay the pow2 padding (rows/cols beyond the true size are
+        # exact zeros, so slicing is lossless)
         ok = np.nonzero(~failed & (rank > 0))[0]
         if ok.size:
-            rclasses: dict[int, list[int]] = {}
+            sclasses: dict[tuple[int, int, int], list[int]] = {}
             for i in ok:
-                rclasses.setdefault(_pad_rank(int(rank[i])), []).append(int(i))
-            for rc, idxs in sorted(rclasses.items()):
+                key = (
+                    _pad_dim(int(t_szs[i]), "mult8"),
+                    _pad_dim(int(s_szs[i]), "mult8"),
+                    _pad_rank(int(rank[i])),
+                )
+                sclasses.setdefault(key, []).append(int(i))
+            for (bm8, bn8, rc), idxs in sorted(sclasses.items()):
                 sel = np.array(idxs)
                 rc_eff = min(rc, rmax)
                 lr_buckets.append(
                     LowRankBucket(
-                        U=U[sel, :, :rc_eff],
-                        V=V[sel, :rc_eff, :],
+                        U=U[sel, :bm8, :rc_eff],
+                        V=V[sel, :rc_eff, :bn8],
                         t_off=jnp.asarray(t_offs[sel], jnp.int32),
                         s_off=jnp.asarray(s_offs[sel], jnp.int32),
                         t_sizes=t_szs[sel],
@@ -185,7 +198,7 @@ def assemble_from_plan(
         n_false_positive += int(bad.size)
         for i in bad:
             l = leaves[int(i)]
-            key = (_pad_dim(l.t_size), _pad_dim(l.s_size), l.mirror)
+            key = (_pad_dim(l.t_size, "mult8"), _pad_dim(l.s_size, "mult8"), l.mirror)
             dense_groups.setdefault(key, []).append(l)
 
     # ---------------- dense leaves: batched generator gather ----------------
