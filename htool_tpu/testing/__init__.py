@@ -9,3 +9,4 @@ from .kernels import (
     laplace_kernel_symmetric,
 )
 from .problems import grid_laplacian
+from .gmsh import load_gmsh_nodes

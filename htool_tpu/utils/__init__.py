@@ -1,3 +1,4 @@
 from .logger import Logger, LogLevel, logger
+from .options import SolverOptions
 
-__all__ = ["Logger", "LogLevel", "logger"]
+__all__ = ["Logger", "LogLevel", "logger", "SolverOptions"]
