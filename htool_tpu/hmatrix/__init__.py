@@ -4,7 +4,7 @@ from .block_tree import BlockTreePlan, plan_block_tree, rjasanow_steinbach
 from .hmatrix import DenseBucket, HMatrix, LowRankBucket
 from .info import hmatrix_info, print_hmatrix_information
 from .linalg import matmat, matmat_user, matvec, matvec_user, to_dense
-from .blr import BLRMatrix, blr_lu, blr_matmul, blr_matvec, blr_solve, build_blr
+from .blr import BLRMatrix, blr_cholesky, blr_lu, blr_matmul, blr_matvec, blr_solve, build_blr
 from .compressors import (
     batched_full_aca,
     batched_recompress,

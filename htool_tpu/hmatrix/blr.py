@@ -44,7 +44,15 @@ from .aca import batched_partial_aca
 from .block_tree import plan_block_tree
 from .compressors import batched_recompress, svd_truncation_rank
 
-__all__ = ["BLRMatrix", "build_blr", "blr_lu", "blr_solve", "blr_matvec", "blr_matmul"]
+__all__ = [
+    "BLRMatrix",
+    "build_blr",
+    "blr_lu",
+    "blr_cholesky",
+    "blr_solve",
+    "blr_matvec",
+    "blr_matmul",
+]
 
 ZERO, DENSE, LR = 0, 1, 2
 
@@ -73,6 +81,7 @@ class BLRMatrix:
     R_half: int = 16
     epsilon: float = 1e-6
     factorized: bool = False
+    kind: str = "lu"  # factorization kind once factorized: "lu" | "chol"
     permutation: np.ndarray = None  # cluster -> user
     info: dict = field(default_factory=dict)
 
@@ -324,23 +333,60 @@ def _k_col_panel_lr(V, slots, lu_k, piv_k):
 
 
 @jax.jit
+def _k_chol_diag(D, slot):
+    """L_kk = chol(A_kk) (lower). Hermitian/real-symmetric positive definite
+    diagonal cells only (the potrf path, factorization.hpp:131-205)."""
+    L = jnp.linalg.cholesky(D[slot])
+    return D.at[slot].set(L)
+
+
+@jax.jit
+def _k_col_panel_dense_chol(D, slots, L_k):
+    """L_ik = A_ik L_kk^{-H} for dense cells: X^H = L_kk^{-1} A_ik^H."""
+    A = D[slots]  # [c, b, b]
+    Xh = jax.vmap(
+        lambda a: jax.scipy.linalg.solve_triangular(L_k, jnp.conj(a).T, lower=True)
+    )(A)
+    return D.at[slots].set(jnp.conj(jnp.swapaxes(Xh, 1, 2)))
+
+
+@jax.jit
+def _k_col_panel_lr_chol(V, slots, L_k):
+    """L_ik = U (V L_kk^{-H}) for LR cells: transform V."""
+    Vv = V[slots]  # [c, R, b]
+    Xh = jax.vmap(
+        lambda v: jax.scipy.linalg.solve_triangular(L_k, jnp.conj(v).T, lower=True)
+    )(Vv)
+    return V.at[slots].set(jnp.conj(jnp.swapaxes(Xh, 1, 2)))
+
+
+@jax.jit
 def _k_densify(D, dslots, U, V, lslots):
     """Materialize LR cells into dense slots (class upgrade)."""
     blk = jnp.einsum("cbr,crn->cbn", U[lslots], V[lslots])
     return D.at[dslots].set(blk)
 
 
-@partial(jax.jit, static_argnames=("Rh",))
-def _k_schur_dense_target(D, U, V, ranks, ia_cls, ia_slot, jb_cls, jb_slot, t_slot, Rh):
+@partial(jax.jit, static_argnames=("Rh", "herm_b"))
+def _k_schur_dense_target(
+    D, U, V, ranks, ia_cls, ia_slot, jb_cls, jb_slot, t_slot, Rh, herm_b=False
+):
     """A_ij -= L_ik U_kj into dense targets, any class combo.
 
-    ia_cls/jb_cls: [c] int32 (1 dense, 2 lr); slots index D or U/V."""
+    ia_cls/jb_cls: [c] int32 (1 dense, 2 lr); slots index D or U/V.
+    With ``herm_b`` the B operand is applied conj-transposed (the Cholesky
+    Schur update A_ij -= L_ik L_jk^H, factorization.hpp:131-205)."""
     La_d = D[ia_slot]  # [c, b, b]
     La_u = U[ia_slot][:, :, :Rh]
     La_v = V[ia_slot][:, :Rh, :]
-    Rb_d = D[jb_slot]
-    Rb_u = U[jb_slot][:, :, :Rh]
-    Rb_v = V[jb_slot][:, :Rh, :]
+    if herm_b:
+        Rb_d = jnp.conj(jnp.swapaxes(D[jb_slot], 1, 2))
+        Rb_u = jnp.conj(jnp.swapaxes(V[jb_slot][:, :Rh, :], 1, 2))  # [c, b, Rh]
+        Rb_v = jnp.conj(jnp.swapaxes(U[jb_slot][:, :, :Rh], 1, 2))  # [c, Rh, b]
+    else:
+        Rb_d = D[jb_slot]
+        Rb_u = U[jb_slot][:, :, :Rh]
+        Rb_v = V[jb_slot][:, :Rh, :]
 
     a_lr = (ia_cls == LR)[:, None, None]
     b_lr = (jb_cls == LR)[:, None, None]
@@ -361,15 +407,22 @@ def _k_schur_dense_target(D, U, V, ranks, ia_cls, ia_slot, jb_cls, jb_slot, t_sl
     return D.at[t_slot].add(-contrib)
 
 
-@partial(jax.jit, static_argnames=("Rh",))
-def _k_schur_lr_target(D, U, V, ranks, ia_cls, ia_slot, jb_cls, jb_slot, t_slot, Rh):
+@partial(jax.jit, static_argnames=("Rh", "herm_b"))
+def _k_schur_lr_target(
+    D, U, V, ranks, ia_cls, ia_slot, jb_cls, jb_slot, t_slot, Rh, herm_b=False
+):
     """A_ij -= L_ik U_kj appended into LR targets (at least one side LR)."""
     La_d = D[ia_slot]
     La_u = U[ia_slot][:, :, :Rh]
     La_v = V[ia_slot][:, :Rh, :]
-    Rb_d = D[jb_slot]
-    Rb_u = U[jb_slot][:, :, :Rh]
-    Rb_v = V[jb_slot][:, :Rh, :]
+    if herm_b:
+        Rb_d = jnp.conj(jnp.swapaxes(D[jb_slot], 1, 2))
+        Rb_u = jnp.conj(jnp.swapaxes(V[jb_slot][:, :Rh, :], 1, 2))
+        Rb_v = jnp.conj(jnp.swapaxes(U[jb_slot][:, :, :Rh], 1, 2))
+    else:
+        Rb_d = D[jb_slot]
+        Rb_u = U[jb_slot][:, :, :Rh]
+        Rb_v = V[jb_slot][:, :Rh, :]
     a_lr = (ia_cls == LR)
     b_lr = (jb_cls == LR)
 
@@ -645,6 +698,192 @@ def blr_lu(A: BLRMatrix, epsilon: Optional[float] = None) -> BLRMatrix:
     return out
 
 
+def blr_cholesky(A: BLRMatrix, epsilon: Optional[float] = None) -> BLRMatrix:
+    """Right-looking BLR Cholesky A = L·L^H — the H-Cholesky equivalent
+    (``factorization.hpp:131-205``): per step k factor the diagonal cell
+    (potrf), transform the subdiagonal column panel L_ik = A_ik L_kk^{-H},
+    then Schur-update the trailing LOWER triangle A_ij -= L_ik L_jk^H.
+
+    Only the lower triangle of ``A`` is read (real symmetric or complex
+    hermitian positive definite, matching LAPACK potrf); the returned matrix
+    stores L in the lower triangle and zeros the upper class map."""
+    eps = A.epsilon if epsilon is None else epsilon
+    nL, b, Rh = A.nL, A.b, A.R_half
+    t0 = time.perf_counter()
+
+    # ---- host symbolic pass on the lower triangle ----
+    cls = A.cls.copy()
+    for i in range(nL):
+        for j in range(i + 1, nL):
+            cls[i, j] = ZERO  # upper triangle unused
+    densify_at = {}
+    fill_lr_at = {}
+    fill_dn_at = {}
+    for k in range(nL):
+        assert cls[k, k] == DENSE, "diagonal cells must be dense"
+        for i in range(k + 1, nL):
+            if cls[i, k] == ZERO:
+                continue
+            for j in range(k + 1, i + 1):
+                if cls[j, k] == ZERO:
+                    continue
+                contrib = DENSE if (cls[i, k] == DENSE and cls[j, k] == DENSE) else LR
+                if cls[i, j] == ZERO:
+                    cls[i, j] = contrib
+                    (fill_dn_at if contrib == DENSE else fill_lr_at)[(i, j)] = k
+                elif cls[i, j] == LR and contrib == DENSE:
+                    cls[i, j] = DENSE
+                    densify_at[(i, j)] = k
+
+    dense_slot = A.dense_slot.copy()
+    lr_slot = A.lr_slot.copy()
+    nd = int(np.asarray(A.D).shape[0]) - 1
+    nl = int(np.asarray(A.U).shape[0]) - 1
+    for (i, j) in sorted(list(densify_at) + list(fill_dn_at)):
+        if dense_slot[i, j] < 0:
+            dense_slot[i, j] = nd
+            nd += 1
+    for (i, j) in sorted(fill_lr_at):
+        if lr_slot[i, j] < 0:
+            lr_slot[i, j] = nl
+            nl += 1
+
+    dtype = A.dtype
+    D = jnp.concatenate(
+        [A.D[:-1], jnp.zeros((nd - (A.D.shape[0] - 1) + 1, b, b), dtype)], axis=0
+    )
+    U = jnp.concatenate(
+        [A.U[:-1], jnp.zeros((nl - (A.U.shape[0] - 1) + 1, b, A.R_buf), dtype)], axis=0
+    )
+    V = jnp.concatenate(
+        [A.V[:-1], jnp.zeros((nl - (A.V.shape[0] - 1) + 1, A.R_buf, b), dtype)], axis=0
+    )
+    ranks = jnp.concatenate(
+        [A.ranks[:-1], jnp.zeros((nl - (A.ranks.shape[0] - 1) + 1,), jnp.int32)]
+    )
+    DUMMY_D, DUMMY_L = nd, nl
+
+    # re-simulate classes while executing (lower triangle only)
+    cls = A.cls.copy()
+    for i in range(nL):
+        for j in range(i + 1, nL):
+            cls[i, j] = ZERO
+
+    for k in range(nL):
+        # 1. factor diagonal (potrf)
+        D = _k_chol_diag(D, int(dense_slot[k, k]))
+        L_k = D[int(dense_slot[k, k])]
+
+        # 2. column panel: L_ik = A_ik L_kk^{-H}
+        col_d = [int(dense_slot[i, k]) for i in range(k + 1, nL) if cls[i, k] == DENSE]
+        col_l = [int(lr_slot[i, k]) for i in range(k + 1, nL) if cls[i, k] == LR]
+        if col_d:
+            (slots,) = _pad_pow2([col_d], DUMMY_D)
+            D = _k_col_panel_dense_chol(D, slots, L_k)
+        if col_l:
+            (slots,) = _pad_pow2([col_l], DUMMY_L)
+            V = _k_col_panel_lr_chol(V, slots, L_k)
+
+        # 3. densify upgrades
+        dens = [(i, j) for (i, j), kk in densify_at.items() if kk == k]
+        if dens:
+            dsl = [int(dense_slot[i, j]) for i, j in dens]
+            lsl = [int(lr_slot[i, j]) for i, j in dens]
+            dslots, lslots = _pad_pow2([dsl, lsl], DUMMY_D)
+            lslots = jnp.where(jnp.arange(lslots.shape[0]) < len(lsl), lslots, DUMMY_L)
+            D = _k_densify(D, dslots, U, V, lslots)
+            for i, j in dens:
+                cls[i, j] = DENSE
+        for (i, j), kk in fill_dn_at.items():
+            if kk == k:
+                cls[i, j] = DENSE
+        for (i, j), kk in fill_lr_at.items():
+            if kk == k:
+                cls[i, j] = LR
+
+        # 4. Schur updates on the trailing LOWER triangle: A_ij -= L_ik L_jk^H
+        tgt_dense = {"ia_cls": [], "ia": [], "jb_cls": [], "jb": [], "t": []}
+        tgt_lr = {"ia_cls": [], "ia": [], "jb_cls": [], "jb": [], "t": []}
+        touched_lr = []
+        for i in range(k + 1, nL):
+            cik = cls[i, k]
+            if cik == ZERO:
+                continue
+            ia = int(dense_slot[i, k] if cik == DENSE else lr_slot[i, k])
+            for j in range(k + 1, i + 1):
+                cjk = cls[j, k]
+                if cjk == ZERO:
+                    continue
+                jb = int(dense_slot[j, k] if cjk == DENSE else lr_slot[j, k])
+                tc = cls[i, j]
+                if tc == DENSE:
+                    g = tgt_dense
+                    g["t"].append(int(dense_slot[i, j]))
+                else:
+                    g = tgt_lr
+                    g["t"].append(int(lr_slot[i, j]))
+                    touched_lr.append(int(lr_slot[i, j]))
+                g["ia_cls"].append(cik)
+                g["ia"].append(ia)
+                g["jb_cls"].append(cjk)
+                g["jb"].append(jb)
+
+        if tgt_dense["t"]:
+            ia_cls, ia, jb_cls, jb, t = _pad_pow2(
+                [
+                    tgt_dense["ia_cls"],
+                    tgt_dense["ia"],
+                    tgt_dense["jb_cls"],
+                    tgt_dense["jb"],
+                    tgt_dense["t"],
+                ],
+                DUMMY_D,
+            )
+            npad = len(tgt_dense["t"])
+            ia_cls = jnp.where(jnp.arange(ia_cls.shape[0]) < npad, ia_cls, DENSE)
+            jb_cls = jnp.where(jnp.arange(jb_cls.shape[0]) < npad, jb_cls, DENSE)
+            D = _k_schur_dense_target(
+                D, U, V, ranks, ia_cls, ia, jb_cls, jb, t, Rh, herm_b=True
+            )
+        if tgt_lr["t"]:
+            npad = len(tgt_lr["t"])
+            ia_cls, jb_cls = _pad_pow2([tgt_lr["ia_cls"], tgt_lr["jb_cls"]], DENSE)
+            ia = _pad_pow2([tgt_lr["ia"]], DUMMY_D)[0]
+            jb = _pad_pow2([tgt_lr["jb"]], DUMMY_D)[0]
+            t = _pad_pow2([tgt_lr["t"]], DUMMY_L)[0]
+            ia = jnp.where(jnp.arange(ia.shape[0]) < npad, ia, DUMMY_D)
+            jb = jnp.where(jnp.arange(jb.shape[0]) < npad, jb, DUMMY_D)
+            U, V, ranks = _k_schur_lr_target(
+                D, U, V, ranks, ia_cls, ia, jb_cls, jb, t, Rh, herm_b=True
+            )
+            sl = sorted(set(touched_lr))
+            (slots,) = _pad_pow2([sl], DUMMY_L)
+            U, V, ranks = _k_recompress(U, V, ranks, slots, eps, Rh)
+
+    out = BLRMatrix(
+        n=A.n,
+        cell_off=A.cell_off,
+        cell_size=A.cell_size,
+        b=b,
+        cls=cls,
+        dense_slot=dense_slot,
+        lr_slot=lr_slot,
+        D=D,
+        U=U,
+        V=V,
+        ranks=ranks,
+        piv=None,
+        R_half=Rh,
+        epsilon=eps,
+        factorized=True,
+        kind="chol",
+        permutation=A.permutation,
+        info=dict(A.info),
+    )
+    out.info["cholesky_walltime"] = time.perf_counter() - t0
+    return out
+
+
 # ======================================================================
 # solve and products
 # ======================================================================
@@ -684,24 +923,55 @@ def blr_solve(F: BLRMatrix, rhs, user_numbering: bool = False):
         s = int(F.lr_slot[i, j])
         return F.U[s][:, :Rh] @ (F.V[s][:Rh, :] @ x)
 
-    # forward: y_i -= sum_{j<i} L_ij y_j  (L has unit diagonal)
-    for i in range(1, nL):
-        acc = jnp.zeros((b, k), dtype)
-        for j in range(i):
-            if F.cls[i, j] != ZERO:
-                acc = acc + cell_apply(i, j, y[j])
-        y = y.at[i].add(-acc)
+    def cell_apply_H(i, j, x):
+        """Apply cell (i, j) conj-transposed: L_ij^H x."""
+        c = F.cls[i, j]
+        if c == DENSE:
+            return jnp.conj(F.D[int(F.dense_slot[i, j])]).T @ x
+        s = int(F.lr_slot[i, j])
+        return jnp.conj(F.V[s][:Rh, :]).T @ (jnp.conj(F.U[s][:, :Rh]).T @ x)
 
-    # backward: x_i = U_ii^{-1} (y_i - sum_{j>i} U_ij x_j)
-    x = jnp.zeros_like(y)
-    for i in range(nL - 1, -1, -1):
-        acc = jnp.zeros((b, k), dtype)
-        for j in range(i + 1, nL):
-            if F.cls[i, j] != ZERO:
-                acc = acc + cell_apply(i, j, x[j])
-        lu_i = F.D[int(F.dense_slot[i, i])]
-        xi = jax.scipy.linalg.lu_solve((lu_i, F.piv[i]), y[i] - acc)
-        x = x.at[i].set(xi.astype(dtype))
+    if F.kind == "chol":
+        # forward: L y = b with non-unit lower-triangular diagonal cells
+        for i in range(nL):
+            acc = jnp.zeros((b, k), dtype)
+            for j in range(i):
+                if F.cls[i, j] != ZERO:
+                    acc = acc + cell_apply(i, j, y[j])
+            L_i = F.D[int(F.dense_slot[i, i])]
+            yi = jax.scipy.linalg.solve_triangular(L_i, y[i] - acc, lower=True)
+            y = y.at[i].set(yi.astype(dtype))
+        # backward: L^H x = y, using the stored lower cells conj-transposed
+        x = jnp.zeros_like(y)
+        for i in range(nL - 1, -1, -1):
+            acc = jnp.zeros((b, k), dtype)
+            for j in range(i + 1, nL):
+                if F.cls[j, i] != ZERO:
+                    acc = acc + cell_apply_H(j, i, x[j])
+            L_i = F.D[int(F.dense_slot[i, i])]
+            xi = jax.scipy.linalg.solve_triangular(
+                L_i, y[i] - acc, lower=True, trans=2
+            )
+            x = x.at[i].set(xi.astype(dtype))
+    else:
+        # forward: y_i -= sum_{j<i} L_ij y_j  (L has unit diagonal)
+        for i in range(1, nL):
+            acc = jnp.zeros((b, k), dtype)
+            for j in range(i):
+                if F.cls[i, j] != ZERO:
+                    acc = acc + cell_apply(i, j, y[j])
+            y = y.at[i].add(-acc)
+
+        # backward: x_i = U_ii^{-1} (y_i - sum_{j>i} U_ij x_j)
+        x = jnp.zeros_like(y)
+        for i in range(nL - 1, -1, -1):
+            acc = jnp.zeros((b, k), dtype)
+            for j in range(i + 1, nL):
+                if F.cls[i, j] != ZERO:
+                    acc = acc + cell_apply(i, j, x[j])
+            lu_i = F.D[int(F.dense_slot[i, i])]
+            xi = jax.scipy.linalg.lu_solve((lu_i, F.piv[i]), y[i] - acc)
+            x = x.at[i].set(xi.astype(dtype))
 
     # compact
     out = jnp.zeros((F.n, k), dtype)

@@ -6,8 +6,20 @@ import numpy as np
 import pytest
 
 import htool_tpu as ht
-from htool_tpu.hmatrix.blr import blr_lu, blr_matmul, blr_matvec, blr_solve, build_blr
-from htool_tpu.testing import create_sphere, grid_laplacian, laplace_kernel_symmetric
+from htool_tpu.hmatrix.blr import (
+    blr_cholesky,
+    blr_lu,
+    blr_matmul,
+    blr_matvec,
+    blr_solve,
+    build_blr,
+)
+from htool_tpu.testing import (
+    create_sphere,
+    grid_laplacian,
+    laplace_kernel_hermitian,
+    laplace_kernel_symmetric,
+)
 
 
 def build_case(n=1600, eps=1e-6, block=80):
@@ -63,6 +75,63 @@ def test_blr_lu_grid_laplacian():
     x = np.random.RandomState(2).randn(A.shape[0])
     sol = np.asarray(blr_solve(F, Ac @ x))
     assert np.linalg.norm(sol - x) / np.linalg.norm(x) < 1e-6
+
+
+@pytest.mark.parametrize("nrhs", [1, 3])
+def test_blr_cholesky_grid_laplacian(nrhs):
+    """SPD matrix: BLR Cholesky (H-Cholesky parity, factorization.hpp:131-205)."""
+    pts, A = grid_laplacian((8, 8, 6))
+    tree = ht.build_cluster_tree(pts, max_leaf_size=32)
+    gen = ht.MatrixGenerator(A)
+    Pm = tree.permutation
+    Ac = A[np.ix_(Pm, Pm)]
+    B = build_blr(gen, tree, epsilon=1e-8, block_size=64)
+    F = blr_cholesky(B)
+    assert F.kind == "chol"
+    rng = np.random.RandomState(4)
+    x = rng.randn(A.shape[0], nrhs)
+    if nrhs == 1:
+        x = x[:, 0]
+    sol = np.asarray(blr_solve(F, Ac @ x))
+    assert np.linalg.norm(sol - x) / np.linalg.norm(x) < 1e-6
+
+
+def test_blr_cholesky_kernel_spd():
+    """Dense-structured SPD: shifted Laplace kernel matrix on a sphere."""
+    n = 800
+    pts = create_sphere(n)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=40)
+    K = np.asarray(ht.KernelGenerator(laplace_kernel_symmetric, pts, pts).to_dense())
+    lam = np.linalg.eigvalsh(K).min()
+    A = K + (max(0.0, -lam) + 0.1) * np.eye(n)
+    gen = ht.MatrixGenerator(A)
+    Pm = tree.permutation
+    Ac = A[np.ix_(Pm, Pm)]
+    B = build_blr(gen, tree, epsilon=1e-8, block_size=80)
+    F = blr_cholesky(B)
+    x = np.random.RandomState(5).randn(n)
+    sol = np.asarray(blr_solve(F, Ac @ x))
+    assert np.linalg.norm(sol - x) / np.linalg.norm(x) < 1e-5
+
+
+def test_blr_cholesky_complex_hermitian():
+    """Complex HPD (hermitian kernel + shift): the potrf 'H' path."""
+    n = 600
+    pts = create_sphere(n)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=40)
+    K = np.asarray(ht.KernelGenerator(laplace_kernel_hermitian, pts, pts).to_dense())
+    K = 0.5 * (K + K.conj().T)  # enforce exact hermitian symmetry
+    lam = np.linalg.eigvalsh(K).min()
+    A = K + (max(0.0, -lam) + 0.1) * np.eye(n)
+    gen = ht.MatrixGenerator(A)
+    Pm = tree.permutation
+    Ac = A[np.ix_(Pm, Pm)]
+    B = build_blr(gen, tree, epsilon=1e-8, block_size=80)
+    F = blr_cholesky(B)
+    rng = np.random.RandomState(6)
+    x = rng.randn(n) + 1j * rng.randn(n)
+    sol = np.asarray(blr_solve(F, Ac @ x))
+    assert np.linalg.norm(sol - x) / np.linalg.norm(x) < 1e-5
 
 
 def test_blr_matmul():
