@@ -178,6 +178,116 @@ def _geometric_splitting(
 
 
 # ----------------------------------------------------------------------
+# multi-axis partitioning (Partitioning_N, partitioning.hpp:38-157)
+# ----------------------------------------------------------------------
+
+
+def _direction_basis(
+    pts: np.ndarray, w: np.ndarray, center: np.ndarray, use_pca: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full direction basis with per-direction extent weights, sorted by
+    decreasing extent.  PCA: eigenvectors of the weighted covariance with
+    sqrt-eigenvalue weights; bounding box: coordinate axes with extents."""
+    if use_pca:
+        u = pts - center
+        cov = (u * w[:, None]).T @ u
+        vals, vecs = np.linalg.eigh(cov)
+        order = np.argsort(vals)[::-1]
+        dirs = vecs[:, order].T  # rows = directions
+        wts = np.sqrt(np.maximum(vals[order], 0.0))
+    else:
+        ext = pts.max(axis=0) - pts.min(axis=0)
+        order = np.argsort(ext)[::-1]
+        dirs = np.eye(pts.shape[1])[order]
+        wts = ext[order]
+    return dirs, wts
+
+
+def _integer_decompositions(n: int, d: int) -> list[list[int]]:
+    """All ordered non-increasing factorizations of ``n`` into ``d`` factors
+    (the reference's backtrack, partitioning.hpp:42-59)."""
+    results: list[list[int]] = []
+
+    def backtrack(remaining_n: int, remaining_d: int, start: int, current: list[int]):
+        if remaining_d == 1:
+            if 1 <= remaining_n <= start:
+                results.append(current + [remaining_n])
+            return
+        for f in range(start, 0, -1):
+            if remaining_n % f == 0:
+                backtrack(remaining_n // f, remaining_d - 1, f, current + [f])
+
+    backtrack(n, d, n, [])
+    return results
+
+
+def _best_splitting_counts(n_parts: int, dir_weights: np.ndarray) -> list[int]:
+    """Pick the factorization of ``n_parts`` over the relevant directions that
+    minimizes the aspect-ratio cost max(w_d/f_d)/min(w_d/f_d)
+    (partitioning.hpp:64-86)."""
+    n_rel = max(1, int(np.sum(dir_weights > 10 * np.finfo(np.float64).eps)))
+    decomps = _integer_decompositions(n_parts, n_rel)
+    if not decomps:
+        return [n_parts]
+    best, best_cost = decomps[0], np.inf
+    for dec in decomps:
+        ratios = dir_weights[: len(dec)] / np.asarray(dec, np.float64)
+        cost = ratios.max() / max(ratios.min(), np.finfo(np.float64).tiny)
+        if cost < best_cost:
+            best_cost = cost
+            best = dec
+    return best
+
+
+def _multi_axis_partitioning(
+    perm: np.ndarray,
+    off: int,
+    size: int,
+    points: np.ndarray,
+    weights: np.ndarray,
+    center: np.ndarray,
+    n_parts: int,
+    use_pca: bool,
+    use_regular: bool,
+) -> Optional[list[tuple[int, int]]]:
+    """Split [off, off+size) into ``n_parts`` along several directions at once
+    (Partitioning_N::compute_partitioning, partitioning.hpp:88-157): choose
+    per-direction split counts, then recursively sort+split axis by axis.
+    Sorts ``perm`` in place; returns offset/size pairs sorted by offset, or
+    None if any sub-split fails (caller falls back to single-axis)."""
+    idx0 = perm[off : off + size]
+    dirs, wts = _direction_basis(points[idx0], weights[idx0], center, use_pca)
+    counts = _best_splitting_counts(n_parts, wts)
+    ndir = len(counts)
+
+    result: list[tuple[int, int]] = []
+    stack: list[tuple[int, int, int]] = [(off, size, 0)]
+    while stack:
+        o, s, d = stack.pop()
+        direction = dirs[d]
+        idx = perm[o : o + s]
+        proj = points[idx] @ direction
+        order = np.argsort(proj, kind="stable")
+        perm[o : o + s] = idx[order]
+        if use_regular:
+            parts = _regular_splitting(o, s, counts[d])
+        else:
+            parts = _geometric_splitting(o, s, proj[order], counts[d])
+        if len(parts) != counts[d] or any(ps <= 0 for _, ps in parts):
+            return None
+        if d < ndir - 1:
+            for p in reversed(parts):
+                stack.append((p[0], p[1], d + 1))
+        else:
+            result.extend(parts)
+
+    if len(result) != n_parts:
+        return None
+    result.sort(key=lambda t: t[0])
+    return result
+
+
+# ----------------------------------------------------------------------
 # builder
 # ----------------------------------------------------------------------
 
@@ -194,6 +304,7 @@ class ClusterTreeBuilder:
     n_children: int = 2
     direction: str = "pca"
     splitting: str = "regular"
+    strategy: str = "single_axis"  # "single_axis" | "multi_axis" (Partitioning_N)
     backend: str = "auto"  # "auto" | "native" | "python"
 
     def build(
@@ -209,7 +320,7 @@ class ClusterTreeBuilder:
         if points.ndim != 2:
             raise ValueError("points must be [N, dim]")
 
-        if self.backend in ("auto", "native"):
+        if self.backend in ("auto", "native") and self.strategy == "single_axis":
             from ..native import ct_build_native
 
             out = ct_build_native(
@@ -350,20 +461,34 @@ class ClusterTreeBuilder:
             ):
                 ncur += additional_children_on_last
 
-            idx = perm[off : off + size]
-            pts = points[idx]
-            if use_pca:
-                d = _pca_direction(pts, weights[idx], ctrs[node])
-            else:
-                d = _bounding_box_direction(pts)
-            proj = pts @ d
-            order = np.argsort(proj, kind="stable")
-            perm[off : off + size] = idx[order]
+            parts = None
+            if self.strategy == "multi_axis" and ncur > 1:
+                parts = _multi_axis_partitioning(
+                    perm,
+                    off,
+                    size,
+                    points,
+                    weights,
+                    ctrs[node],
+                    ncur,
+                    use_pca,
+                    use_regular,
+                )
+            if parts is None:
+                idx = perm[off : off + size]
+                pts = points[idx]
+                if use_pca:
+                    d = _pca_direction(pts, weights[idx], ctrs[node])
+                else:
+                    d = _bounding_box_direction(pts)
+                proj = pts @ d
+                order = np.argsort(proj, kind="stable")
+                perm[off : off + size] = idx[order]
 
-            if use_regular:
-                parts = _regular_splitting(off, size, ncur)
-            else:
-                parts = _geometric_splitting(off, size, proj[order], ncur)
+                if use_regular:
+                    parts = _regular_splitting(off, size, ncur)
+                else:
+                    parts = _geometric_splitting(off, size, proj[order], ncur)
 
             ok = len(parts) == ncur and all(s > 0 for _, s in parts)
             if not ok:
@@ -424,7 +549,7 @@ class ClusterTreeBuilder:
 def build_cluster_tree(points: np.ndarray, **kwargs) -> ClusterTree:
     """Convenience wrapper: ``build_cluster_tree(points, max_leaf_size=...,
     n_partitions=...)``."""
-    builder_keys = {"max_leaf_size", "n_children", "direction", "splitting"}
+    builder_keys = {"max_leaf_size", "n_children", "direction", "splitting", "strategy"}
     bkw = {k: v for k, v in kwargs.items() if k in builder_keys}
     okw = {k: v for k, v in kwargs.items() if k not in builder_keys}
     return ClusterTreeBuilder(**bkw).build(points, **okw)

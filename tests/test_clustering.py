@@ -100,3 +100,45 @@ def test_permutation_roundtrip():
     x = np.random.RandomState(3).randn(200)
     assert np.allclose(tree.cluster_to_user(tree.user_to_cluster(x)), x)
     assert np.allclose(tree.user_to_cluster(tree.cluster_to_user(x)), x)
+
+
+@pytest.mark.parametrize("direction", ["pca", "bounding_box"])
+@pytest.mark.parametrize("n_partitions", [4, 6, 8])
+def test_multi_axis_partitioning(direction, n_partitions):
+    """Partitioning_N (partitioning.hpp:38-157): split over several
+    directions at once, decomposition chosen by aspect-ratio cost."""
+    rng = np.random.RandomState(0)
+    # anisotropic slab: x-extent 4, y-extent 2, z-extent thin
+    pts = rng.rand(800, 3) * np.array([4.0, 2.0, 0.05])
+    tree = ClusterTreeBuilder(
+        max_leaf_size=40, direction=direction, strategy="multi_axis"
+    ).build(pts, n_partitions=n_partitions)
+    check_tree_invariants(tree)
+    assert tree.n_partitions == n_partitions
+    offs, szs = tree.partition_offsets_sizes()
+    assert szs.sum() == 800 and np.all(szs > 0)
+    # multi-axis should produce boxier partitions than a pure 1-D slicing:
+    # every partition's extent along x must be well below the full 4.0 when
+    # the decomposition uses >1 direction (e.g. 4 = 2x2 on this slab)
+    if n_partitions == 4:
+        for p in range(n_partitions):
+            idx = tree.permutation[offs[p] : offs[p] + szs[p]]
+            ext = tree.points[idx].max(axis=0) - tree.points[idx].min(axis=0)
+            assert ext[0] < 3.0  # a 1-D split into 4 would give ~1.0; 2x2 gives ~2.0
+
+
+def test_multi_axis_integer_decompositions():
+    from htool_tpu.clustering.cluster_tree import (
+        _best_splitting_counts,
+        _integer_decompositions,
+    )
+
+    decs = _integer_decompositions(12, 2)
+    assert [12, 1] in decs and [6, 2] in decs and [4, 3] in decs
+    assert all(a >= b for a, b in decs)
+    # isotropic weights: pick the most balanced decomposition
+    counts = _best_splitting_counts(4, np.array([1.0, 1.0, 1e-20]))
+    assert counts == [2, 2]
+    # strongly anisotropic: put all splits on the big axis
+    counts = _best_splitting_counts(4, np.array([100.0, 1.0, 1e-20]))
+    assert counts == [4, 1]
