@@ -19,7 +19,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Generator", "KernelGenerator", "MatrixGenerator", "SubsetGenerator"]
+__all__ = [
+    "Generator",
+    "KernelGenerator",
+    "MatrixGenerator",
+    "SubsetGenerator",
+    "TransposedGenerator",
+]
 
 
 class Generator:
@@ -86,6 +92,19 @@ class SubsetGenerator(Generator):
         return self.base.block(self.row_index[rows], self.col_index[cols])
 
 
+class TransposedGenerator(Generator):
+    """View of a generator's transpose: ``block(r, c) = base.block(c, r)ᵀ``
+    (used by the sympartialACA orientation, sympartialACA.hpp:48-63)."""
+
+    def __init__(self, base: "Generator"):
+        self.base = base
+        self.shape = (base.shape[1], base.shape[0])
+        self.dtype = base.dtype
+
+    def block(self, rows, cols):
+        return jnp.swapaxes(self.base.block(cols, rows), -1, -2)
+
+
 class MatrixGenerator(Generator):
     """Generator backed by a stored dense matrix (user numbering) —
     equivalent of ``GeneratorInUserNumberingFromMatrix``
@@ -134,6 +153,17 @@ def _matrix_unflatten(aux, leaves):
     return g
 
 
+def _transposed_flatten(g: TransposedGenerator):
+    return (g.base,), (g.dtype, g.shape)
+
+
+def _transposed_unflatten(aux, leaves):
+    g = object.__new__(TransposedGenerator)
+    (g.base,) = leaves
+    g.dtype, g.shape = aux
+    return g
+
+
 def _subset_flatten(g: SubsetGenerator):
     return (g.base, g.row_index, g.col_index), (g.dtype, g.shape)
 
@@ -148,3 +178,6 @@ def _subset_unflatten(aux, leaves):
 jax.tree_util.register_pytree_node(KernelGenerator, _kernel_flatten, _kernel_unflatten)
 jax.tree_util.register_pytree_node(MatrixGenerator, _matrix_flatten, _matrix_unflatten)
 jax.tree_util.register_pytree_node(SubsetGenerator, _subset_flatten, _subset_unflatten)
+jax.tree_util.register_pytree_node(
+    TransposedGenerator, _transposed_flatten, _transposed_unflatten
+)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..clustering.cluster_tree import ClusterTree
-from ..generator import Generator
+from ..generator import Generator, TransposedGenerator
 from .aca import batched_partial_aca
 from .block_tree import BlockTreePlan, plan_block_tree
 from .hmatrix import DenseBucket, HMatrix, LowRankBucket
@@ -83,6 +83,7 @@ def _get_compressor(name: str):
 
         _COMPRESSORS.update(
             partial_aca=batched_partial_aca,
+            sym_partial_aca=batched_partial_aca,  # orientation handled by caller
             full_aca=batched_full_aca,
             svd=batched_svd_compress,
         )
@@ -103,9 +104,12 @@ def assemble_from_plan(
 ) -> HMatrix:
     """Assemble the flat H-matrix from a planned block tree.
 
-    ``compressor``: "partial_aca" (default, the reference's sympartialACA
-    role), "full_aca", or "svd" (tree_builder.hpp:384-390 picks the
-    strategy; here it is a parameter)."""
+    ``compressor``: "partial_aca" (default), "sym_partial_aca" (partial ACA
+    with the offset-oriented pivot walk of the reference's default
+    sympartialACA, ``sympartialACA.hpp:48-63``: blocks with
+    ``t_off < s_off`` are compressed on the transposed block so (i,j)/(j,i)
+    pairs generate transpose-consistent crosses), "full_aca", or "svd"
+    (tree_builder.hpp:384-390 picks the strategy; here it is a parameter)."""
     tt, st = plan.target_tree, plan.source_tree
     perm_t, perm_s = tt.permutation, st.permutation
     t0 = time.perf_counter()
@@ -113,24 +117,26 @@ def assemble_from_plan(
     dense_buckets: list[DenseBucket] = []
     lr_buckets: list[LowRankBucket] = []
     n_false_positive = 0
+    sym_orient = compressor == "sym_partial_aca"
 
     # ---------------- group leaves by (padded shape, mirror) ----------------
     # dense buckets store at tight mult8 shapes (their gather kernels are
     # cheap to compile); admissible buckets use pow2 COMPUTE shapes so the
     # expensive ACA kernel compiles only ~log2 times, then storage is
     # re-tightened below
-    def group(leaves, mode):
-        groups: dict[tuple[int, int, bool], list] = {}
+    def group(leaves, mode, orient=False):
+        groups: dict[tuple[int, int, bool, bool], list] = {}
         for l in leaves:
-            key = (_pad_dim(l.t_size, mode), _pad_dim(l.s_size, mode), l.mirror)
+            swap = bool(orient and l.t_off < l.s_off)
+            key = (_pad_dim(l.t_size, mode), _pad_dim(l.s_size, mode), l.mirror, swap)
             groups.setdefault(key, []).append(l)
         return groups
 
     dense_groups = group(plan.dense, "mult8")
-    adm_groups = group(plan.admissible, "pow2")
+    adm_groups = group(plan.admissible, "pow2", orient=sym_orient)
 
     # ---------------- admissible leaves: batched ACA ----------------
-    for (bm, bn, mirror), leaves in sorted(adm_groups.items()):
+    for (bm, bn, mirror, swap), leaves in sorted(adm_groups.items()):
         t_offs = np.array([l.t_off for l in leaves], dtype=np.int64)
         s_offs = np.array([l.s_off for l in leaves], dtype=np.int64)
         t_szs = np.array([l.t_size for l in leaves], dtype=np.int64)
@@ -149,16 +155,32 @@ def assemble_from_plan(
         rmax = max(rmax, 1)
 
         compress = _get_compressor(compressor)
-        U, V, rank, failed = compress(
-            generator,
-            rows,
-            cols,
-            jnp.asarray(t_szs, jnp.int32),
-            jnp.asarray(s_szs, jnp.int32),
-            plan.epsilon,
-            rmax,
-            reqrank,
-        )
+        if swap:
+            # transposed walk (sympartialACA orientation): compress Aᵀ, then
+            # A = (U_B V_B)ᵀ = V_Bᵀ · U_Bᵀ
+            U_B, V_B, rank, failed = compress(
+                TransposedGenerator(generator),
+                cols,
+                rows,
+                jnp.asarray(s_szs, jnp.int32),
+                jnp.asarray(t_szs, jnp.int32),
+                plan.epsilon,
+                rmax,
+                reqrank,
+            )
+            U = jnp.swapaxes(V_B, 1, 2)
+            V = jnp.swapaxes(U_B, 1, 2)
+        else:
+            U, V, rank, failed = compress(
+                generator,
+                rows,
+                cols,
+                jnp.asarray(t_szs, jnp.int32),
+                jnp.asarray(s_szs, jnp.int32),
+                plan.epsilon,
+                rmax,
+                reqrank,
+            )
         rank = np.asarray(rank)
         failed = np.asarray(failed)
 
@@ -198,11 +220,16 @@ def assemble_from_plan(
         n_false_positive += int(bad.size)
         for i in bad:
             l = leaves[int(i)]
-            key = (_pad_dim(l.t_size, "mult8"), _pad_dim(l.s_size, "mult8"), l.mirror)
+            key = (
+                _pad_dim(l.t_size, "mult8"),
+                _pad_dim(l.s_size, "mult8"),
+                l.mirror,
+                False,
+            )
             dense_groups.setdefault(key, []).append(l)
 
     # ---------------- dense leaves: batched generator gather ----------------
-    for (bm, bn, mirror), leaves in sorted(dense_groups.items()):
+    for (bm, bn, mirror, _), leaves in sorted(dense_groups.items()):
         if not leaves:
             continue
         t_offs = np.array([l.t_off for l in leaves], dtype=np.int64)

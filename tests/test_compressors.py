@@ -15,7 +15,7 @@ def rel(a, b):
     return np.linalg.norm(a - b) / np.linalg.norm(b)
 
 
-@pytest.mark.parametrize("compressor", ["partial_aca", "full_aca", "svd"])
+@pytest.mark.parametrize("compressor", ["partial_aca", "sym_partial_aca", "full_aca", "svd"])
 @pytest.mark.parametrize("epsilon", [1e-3, 1e-6])
 def test_compressor_oracle(compressor, epsilon):
     pts = create_sphere(500)
@@ -79,3 +79,24 @@ def test_reqrank_compressors_agree():
     # SVD at fixed rank is optimal; ACA within an order of magnitude
     assert errs["svd"] <= errs["partial_aca"] * 1.001
     assert errs["partial_aca"] < 20 * errs["svd"] + 1e-12
+
+
+def test_sym_partial_aca_transpose_consistency():
+    """sympartialACA orientation (sympartialACA.hpp:48-63): blocks (i,j) and
+    (j,i) of a symmetric generator use transpose-consistent pivot walks, so
+    the full unsymmetric build is EXACTLY symmetric (not just within eps)."""
+    pts = create_sphere(600)
+    gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=40)
+    H = ht.build_hmatrix(
+        gen, tree, epsilon=1e-4, eta=10.0, compressor="sym_partial_aca"
+    )
+    A = np.asarray(gen.to_dense())
+    Hd = H.to_dense()
+    assert rel(Hd, A) < 1e-4
+    # transpose consistency: machine-precision symmetric
+    assert np.linalg.norm(Hd - Hd.T) / np.linalg.norm(Hd) < 1e-12
+    # plain partial ACA walks both triangles row-first -> NOT exactly symmetric
+    H2 = ht.build_hmatrix(gen, tree, epsilon=1e-4, eta=10.0, compressor="partial_aca")
+    H2d = H2.to_dense()
+    assert np.linalg.norm(H2d - H2d.T) / np.linalg.norm(H2d) > 1e-12
