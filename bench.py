@@ -22,6 +22,19 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent XLA compile cache: assembly is a handful of big kernels whose
+    # remote-TPU compiles dominate first-run walltime; cache them across runs
+    cache_dir = os.environ.get(
+        "HTOOL_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/htool_tpu_xla")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     import htool_tpu as ht

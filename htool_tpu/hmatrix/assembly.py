@@ -31,16 +31,19 @@ __all__ = ["HMatrixBuilder", "build_hmatrix", "assemble_from_plan"]
 def _pad_dim(s: int, mode: str = "pow2") -> int:
     """Pad a block dimension.
 
-    ``mode='mult8'``: next multiple of 8 (tightest memory, one compiled
-    kernel per distinct shape).  ``mode='pow2'`` (default): next power of
-    two — a few×  more padded FLOPs, but collapses the per-level shape zoo
-    into ~log2 distinct buckets, which matters because each distinct shape
-    costs a full XLA compile (~seconds on the remote-compile TPU path while
-    device time is milliseconds)."""
+    ``mode='mult8'``: next multiple of 8 (tightest memory).  ``mode='mult32'``:
+    next multiple of 32 (storage class coarsening — merges near-equal shapes
+    into one bucket so the product launches fewer kernels).  ``mode='pow2'``
+    (default): next power of two — a few× more padded FLOPs, but collapses
+    the per-level shape zoo into ~log2 distinct buckets, which matters
+    because each distinct shape costs a full XLA compile (~seconds on the
+    remote-compile TPU path while device time is milliseconds)."""
     if s <= 8:
         return 8
     if mode == "mult8":
         return int(-(-s // 8) * 8)
+    if mode == "mult32":
+        return max(32, int(-(-s // 32) * 32))
     p = 8
     while p < s:
         p *= 2
@@ -132,7 +135,7 @@ def assemble_from_plan(
             groups.setdefault(key, []).append(l)
         return groups
 
-    dense_groups = group(plan.dense, "mult8")
+    dense_groups = group(plan.dense, "mult32")
     adm_groups = group(plan.admissible, "pow2", orient=sym_orient)
 
     # ---------------- admissible leaves: batched ACA ----------------
@@ -191,16 +194,20 @@ def assemble_from_plan(
         # exact zeros, so slicing is lossless)
         ok = np.nonzero(~failed & (rank > 0))[0]
         if ok.size:
-            sclasses: dict[tuple[int, int, int], list[int]] = {}
+            # storage classes use mult32 dims (merging near-equal shapes) and
+            # one pow2 rank per class (= pow2 of the class max) so the product
+            # path launches as few kernels as possible; rows/cols/rank columns
+            # beyond true sizes are exact zeros so the padding is lossless
+            sclasses: dict[tuple[int, int], list[int]] = {}
             for i in ok:
                 key = (
-                    _pad_dim(int(t_szs[i]), "mult8"),
-                    _pad_dim(int(s_szs[i]), "mult8"),
-                    _pad_rank(int(rank[i])),
+                    min(bm, _pad_dim(int(t_szs[i]), "mult32")),
+                    min(bn, _pad_dim(int(s_szs[i]), "mult32")),
                 )
                 sclasses.setdefault(key, []).append(int(i))
-            for (bm8, bn8, rc), idxs in sorted(sclasses.items()):
+            for (bm8, bn8), idxs in sorted(sclasses.items()):
                 sel = np.array(idxs)
+                rc = _pad_rank(int(rank[sel].max()))
                 rc_eff = min(rc, rmax)
                 lr_buckets.append(
                     LowRankBucket(
@@ -221,8 +228,8 @@ def assemble_from_plan(
         for i in bad:
             l = leaves[int(i)]
             key = (
-                _pad_dim(l.t_size, "mult8"),
-                _pad_dim(l.s_size, "mult8"),
+                _pad_dim(l.t_size, "mult32"),
+                _pad_dim(l.s_size, "mult32"),
                 l.mirror,
                 False,
             )

@@ -30,6 +30,8 @@ __all__ = [
     "matmat",
     "matmat_user",
     "to_dense",
+    "copy_diagonal",
+    "copy_diagonal_user",
 ]
 
 
@@ -206,6 +208,37 @@ def matvec_user(h: HMatrix, x, op: str = "N"):
 
 def matmat_user(h: HMatrix, X, op: str = "N"):
     return matvec_user(h, X, op=op)
+
+
+def copy_diagonal(h: HMatrix):
+    """Diagonal of a square H-matrix in CLUSTER numbering (``copy_diagonal``,
+    hmatrix.hpp:401).  Diagonal entries live only in dense (inadmissible)
+    blocks sitting on the diagonal, so this is a batched gather over the
+    dense buckets."""
+    m_loc, n_glob = h.shape
+    out = jnp.zeros((m_loc + 1,), h.dtype)  # last slot = trash
+    for bucket in h.dense_buckets:
+        bm, bn = bucket.block_shape
+        t_loc = bucket.t_off - h.t_root_off
+        # entry (t_off + i, s_off + i) is diagonal when global row == col
+        k = min(bm, bn)
+        ar = jnp.arange(k)
+        rows_g = bucket.t_off[:, None] + ar[None, :]  # global rows
+        cols_g = bucket.s_off[:, None] + ar[None, :]
+        vals = bucket.data[:, ar, ar]  # [nb, k]
+        on_diag = rows_g == cols_g
+        idx = jnp.where(on_diag, t_loc[:, None] + ar[None, :], m_loc)
+        out = out.at[idx.reshape(-1)].add(jnp.where(on_diag, vals, 0).reshape(-1))
+    return out[:-1]
+
+
+def copy_diagonal_user(h: HMatrix):
+    """Diagonal in USER numbering (``copy_diagonal_in_user_numbering``,
+    hmatrix.hpp:434).  Global square H-matrices only."""
+    if h.t_root_off != 0 or h.shape[0] != h.shape[1]:
+        raise ValueError("user-numbering diagonal requires a global square H-matrix")
+    d = copy_diagonal(h)
+    return jnp.zeros_like(d).at[h.perm_t].set(d)
 
 
 def to_dense(h: HMatrix, user_numbering: bool = True) -> np.ndarray:

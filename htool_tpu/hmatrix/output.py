@@ -10,7 +10,32 @@ import numpy as np
 
 from .hmatrix import DenseBucket, HMatrix, LowRankBucket
 
-__all__ = ["save_leaves_with_rank", "load_hmatrix", "save_hmatrix"]
+__all__ = [
+    "save_leaves_with_rank",
+    "save_levels",
+    "view_block_tree",
+    "load_hmatrix",
+    "save_hmatrix",
+]
+
+
+def _iter_leaves(h: HMatrix):
+    """Yield (t_off, t_size, s_off, s_size, kind, rank, mirror) per leaf."""
+    for b in h.dense_buckets:
+        t_off = np.asarray(b.t_off)
+        s_off = np.asarray(b.s_off)
+        t_sz = np.asarray(b.t_sizes)
+        s_sz = np.asarray(b.s_sizes)
+        for i in range(t_off.shape[0]):
+            yield t_off[i], t_sz[i], s_off[i], s_sz[i], "dense", -1, b.mirror
+    for b in h.lr_buckets:
+        t_off = np.asarray(b.t_off)
+        s_off = np.asarray(b.s_off)
+        t_sz = np.asarray(b.t_sizes)
+        s_sz = np.asarray(b.s_sizes)
+        rk = np.asarray(b.ranks)
+        for i in range(t_off.shape[0]):
+            yield t_off[i], t_sz[i], s_off[i], s_sz[i], "lr", int(rk[i]), b.mirror
 
 
 def save_leaves_with_rank(h: HMatrix, filename: str) -> None:
@@ -19,25 +44,64 @@ def save_leaves_with_rank(h: HMatrix, filename: str) -> None:
     with open(filename, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["t_off", "t_size", "s_off", "s_size", "kind", "rank", "mirror"])
-        for b in h.dense_buckets:
-            t_off = np.asarray(b.t_off)
-            s_off = np.asarray(b.s_off)
-            t_sz = np.asarray(b.t_sizes)
-            s_sz = np.asarray(b.s_sizes)
-            for i in range(t_off.shape[0]):
-                w.writerow(
-                    [t_off[i], t_sz[i], s_off[i], s_sz[i], "dense", -1, int(b.mirror)]
-                )
-        for b in h.lr_buckets:
-            t_off = np.asarray(b.t_off)
-            s_off = np.asarray(b.s_off)
-            t_sz = np.asarray(b.t_sizes)
-            s_sz = np.asarray(b.s_sizes)
-            rk = np.asarray(b.ranks)
-            for i in range(t_off.shape[0]):
-                w.writerow(
-                    [t_off[i], t_sz[i], s_off[i], s_sz[i], "lr", rk[i], int(b.mirror)]
-                )
+        for t_off, t_sz, s_off, s_sz, kind, rank, mirror in _iter_leaves(h):
+            w.writerow([t_off, t_sz, s_off, s_sz, kind, rank, int(mirror)])
+
+
+def save_levels(h: HMatrix, filename: str) -> None:
+    """Per-level aggregate CSV (``save_levels``, hmatrix_output.hpp:58): the
+    flat layout has no stored tree depth, so the level is reconstructed as
+    log2 of the block extent relative to the root — rows: level proxy
+    (max block extent), #dense, #lr, rank min/mean/max."""
+    by_extent: dict[int, list] = {}
+    for t_off, t_sz, s_off, s_sz, kind, rank, _ in _iter_leaves(h):
+        by_extent.setdefault(int(max(t_sz, s_sz)), []).append((kind, rank))
+    with open(filename, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["block_extent", "n_dense", "n_lr", "rank_min", "rank_mean", "rank_max"])
+        for ext in sorted(by_extent, reverse=True):
+            rows = by_extent[ext]
+            ranks = [r for k, r in rows if k == "lr"]
+            w.writerow(
+                [
+                    ext,
+                    sum(1 for k, _ in rows if k == "dense"),
+                    len(ranks),
+                    min(ranks) if ranks else 0,
+                    float(np.mean(ranks)) if ranks else 0.0,
+                    max(ranks) if ranks else 0,
+                ]
+            )
+
+
+def view_block_tree(h: HMatrix, filename: str | None = None) -> str:
+    """Graphviz DOT of the block structure (``view_block_tree``,
+    hmatrix_output_dot.hpp:51-210): one node per leaf labeled with its
+    (rows × cols [rank]) footprint, colored green (low-rank) / red (dense)."""
+    lines = [
+        "digraph block_tree {",
+        "  node [shape=box, style=filled];",
+        f'  root [label="{h.shape[0]} x {h.shape[1]}", fillcolor=lightgray];',
+    ]
+    for i, (t_off, t_sz, s_off, s_sz, kind, rank, mirror) in enumerate(
+        _iter_leaves(h)
+    ):
+        if kind == "lr":
+            label = f"[{t_off},{t_off + t_sz})x[{s_off},{s_off + s_sz}) r={rank}"
+            color = "palegreen"
+        else:
+            label = f"[{t_off},{t_off + t_sz})x[{s_off},{s_off + s_sz})"
+            color = "lightcoral"
+        if mirror:
+            label += " +mirror"
+        lines.append(f'  b{i} [label="{label}", fillcolor={color}];')
+        lines.append(f"  root -> b{i};")
+    lines.append("}")
+    dot = "\n".join(lines)
+    if filename:
+        with open(filename, "w") as f:
+            f.write(dot)
+    return dot
 
 
 def save_hmatrix(h: HMatrix, filename: str) -> None:

@@ -93,3 +93,20 @@ def test_reqrank_build():
     assert info["rank_max"] <= 5
     # well-separated clouds: rank-5 already decent
     assert rel_fro(H.to_dense(), np.asarray(gen.to_dense())) < 1e-2
+
+
+def test_copy_diagonal():
+    """copy_diagonal / copy_diagonal_in_user_numbering (hmatrix.hpp:401,434)."""
+    from htool_tpu.hmatrix.linalg import copy_diagonal, copy_diagonal_user
+    from htool_tpu.testing import create_sphere, laplace_kernel_symmetric
+
+    pts = create_sphere(700)
+    gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=50)
+    H = ht.build_hmatrix(gen, tree, epsilon=1e-6, eta=10.0)
+    A = np.asarray(gen.to_dense())
+    Pm = tree.permutation
+    d_cluster = np.asarray(copy_diagonal(H))
+    assert np.allclose(d_cluster, np.diag(A)[Pm])
+    d_user = np.asarray(copy_diagonal_user(H))
+    assert np.allclose(d_user, np.diag(A))

@@ -72,3 +72,20 @@ def test_hmatrix_npz_roundtrip(tmp_path):
     assert np.allclose(H.to_dense(), H2.to_dense())
     x = np.random.RandomState(0).randn(300)
     assert np.allclose(np.asarray(H @ x), np.asarray(H2 @ x))
+
+
+def test_save_levels_and_dot(tmp_path):
+    import htool_tpu as ht
+    from htool_tpu.hmatrix.output import save_levels, view_block_tree
+    from htool_tpu.testing import create_sphere, laplace_kernel_symmetric
+
+    pts = create_sphere(500)
+    gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=40)
+    H = ht.build_hmatrix(gen, tree, epsilon=1e-4, eta=10.0)
+    p = tmp_path / "levels.csv"
+    save_levels(H, str(p))
+    lines = p.read_text().strip().splitlines()
+    assert lines[0].startswith("block_extent") and len(lines) > 1
+    dot = view_block_tree(H, str(tmp_path / "bt.dot"))
+    assert dot.startswith("digraph") and "palegreen" in dot and "lightcoral" in dot
