@@ -3,7 +3,28 @@ from .assembly import HMatrixBuilder, assemble_from_plan, build_hmatrix
 from .block_tree import BlockTreePlan, plan_block_tree, rjasanow_steinbach
 from .hmatrix import DenseBucket, HMatrix, LowRankBucket
 from .info import hmatrix_info, print_hmatrix_information
-from .linalg import matmat, matmat_user, matvec, matvec_user, to_dense
+from .linalg import (
+    copy_diagonal,
+    copy_diagonal_user,
+    matmat,
+    matmat_user,
+    matvec,
+    matvec_user,
+    to_dense,
+)
+from .lr_linalg import (
+    LowRank,
+    add_lrmat_lrmat,
+    hmatrix_lrmat_product,
+    lrmat_from_dense,
+    lrmat_hmatrix_product,
+    lrmat_lrmat_product,
+    lrmat_matrix_product,
+    lrmat_vector_product,
+    matrix_hmatrix_product,
+    matrix_lrmat_product,
+    scale_lrmat,
+)
 from .blr import BLRMatrix, blr_cholesky, blr_lu, blr_matmul, blr_matvec, blr_solve, build_blr
 from .compressors import (
     batched_full_aca,
