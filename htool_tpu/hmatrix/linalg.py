@@ -22,6 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.bucket_matvec import (
+    dense_bucket_matvec,
+    lr_bucket_matvec,
+    pallas_matvec_ok,
+)
 from .hmatrix import DenseBucket, HMatrix, LowRankBucket
 
 __all__ = [
@@ -166,6 +171,43 @@ def matvec(h: HMatrix, x, op: str = "N"):
             out_off = off_of(out_side)
             in_w = bm if in_side == "t" else bn
             out_w = bm if out_side == "t" else bn
+
+            # fused Pallas path (TPU, real dtypes): no gather/scatter HLOs —
+            # the scatter-add dominates the XLA path on TPU
+            if not jnp.issubdtype(dtype, jnp.complexfloating):
+                lanes = lambda d: -(-d // 128) * 128
+                item = jnp.dtype(dtype).itemsize
+                if is_dense:
+                    blk_bytes = bm * lanes(bn) * item
+                else:
+                    r = bucket.rank_padded
+                    blk_bytes = (bm * lanes(r) + r * lanes(bn)) * item
+                if pallas_matvec_ok(
+                    dtype, y_pad.shape[0], x_pad.shape[0], x_pad.shape[1], blk_bytes
+                ):
+                    trans = mode in ("T", "C")  # 'C'=='T', 'conj'=='N' (real)
+                    if is_dense:
+                        yb = dense_bucket_matvec(
+                            bucket.data.astype(dtype),
+                            in_off,
+                            out_off,
+                            x_pad,
+                            trans,
+                            y_pad.shape[0],
+                        )
+                    else:
+                        yb = lr_bucket_matvec(
+                            bucket.U.astype(dtype),
+                            bucket.V.astype(dtype),
+                            in_off,
+                            out_off,
+                            x_pad,
+                            trans,
+                            y_pad.shape[0],
+                        )
+                    y_pad = y_pad + yb
+                    continue
+
             xg = _gather(x_pad, in_off, in_w)
             if is_dense:
                 yb = _apply_dense(bucket.data.astype(dtype), xg, mode)
