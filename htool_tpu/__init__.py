@@ -20,6 +20,15 @@ from .hmatrix.block_tree import BlockTreePlan, plan_block_tree
 from .hmatrix.hmatrix import DenseBucket, HMatrix, LowRankBucket
 from .hmatrix.info import hmatrix_info, print_hmatrix_information
 from .hmatrix.linalg import matmat, matmat_user, matvec, matvec_user, to_dense
+from .hmatrix.conversion import (
+    cholesky_factorization,
+    cholesky_solve,
+    hmatrix_hmatrix_product,
+    lu_factorization,
+    lu_solve,
+    recompress_hmatrix,
+    to_blr,
+)
 
 __version__ = "0.1.0"
 
@@ -46,4 +55,11 @@ __all__ = [
     "to_dense",
     "hmatrix_info",
     "print_hmatrix_information",
+    "recompress_hmatrix",
+    "to_blr",
+    "lu_factorization",
+    "lu_solve",
+    "cholesky_factorization",
+    "cholesky_solve",
+    "hmatrix_hmatrix_product",
 ]

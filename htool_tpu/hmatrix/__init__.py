@@ -32,3 +32,12 @@ from .compressors import (
     batched_svd_compress,
     svd_truncation_rank,
 )
+from .conversion import (
+    cholesky_factorization,
+    cholesky_solve,
+    hmatrix_hmatrix_product,
+    lu_factorization,
+    lu_solve,
+    recompress_hmatrix,
+    to_blr,
+)

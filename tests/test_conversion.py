@@ -1,0 +1,91 @@
+"""Assembled-H post-processing: recompression over all LR leaves
+(reference hmatrix/utils/recompression.hpp) and H→BLR conversion feeding the
+user-facing factorization surface lu_factorization / cholesky_factorization /
+lu_solve / cholesky_solve / hmatrix_hmatrix_product
+(reference hmatrix/linalg/factorization.hpp:82-290,
+add_hmatrix_hmatrix_product.hpp:210).  Oracle = dense linalg."""
+
+import numpy as np
+import pytest
+
+import htool_tpu as ht
+from htool_tpu.hmatrix.blr import blr_matvec
+from htool_tpu.testing import (
+    create_sphere,
+    laplace_kernel_hermitian,
+    laplace_kernel_symmetric,
+)
+
+
+def build_case(n=1200, eps=1e-5, symmetry="N", kernel=laplace_kernel_symmetric):
+    pts = create_sphere(n)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=40)
+    gen = ht.KernelGenerator(kernel, pts, pts)
+    kwargs = {}
+    if symmetry != "N":
+        kwargs = dict(symmetry=symmetry, UPLO="L")
+    H = ht.build_hmatrix(gen, tree, epsilon=eps, eta=10.0, **kwargs)
+    A = np.asarray(gen.to_dense())
+    Pm = tree.permutation
+    Ac = A[np.ix_(Pm, Pm)]
+    return H, tree, Ac
+
+
+def test_recompress_hmatrix():
+    H, tree, Ac = build_case(eps=1e-8)
+    H2 = ht.recompress_hmatrix(H, 1e-4)
+    # coarser epsilon must not increase any stored rank, and often shrinks
+    r_old = sum(int(np.asarray(b.ranks).sum()) for b in H.lr_buckets)
+    r_new = sum(int(np.asarray(b.ranks).sum()) for b in H2.lr_buckets)
+    assert r_new < r_old
+    D2 = H2.to_dense(user_numbering=False)
+    err = np.linalg.norm(D2 - Ac) / np.linalg.norm(Ac)
+    assert err < 1e-3
+
+
+@pytest.mark.parametrize("symmetry", ["N", "S"])
+def test_to_blr_matches_hmatrix(symmetry):
+    H, tree, Ac = build_case(symmetry=symmetry)
+    B = ht.to_blr(H, tree, block_size=80)
+    err = np.linalg.norm(B.to_dense() - Ac) / np.linalg.norm(Ac)
+    assert err < 1e-4
+    assert B.compression_info()["n_lr_cells"] > 0
+
+
+def test_to_blr_hermitian():
+    H, tree, Ac = build_case(symmetry="H", kernel=laplace_kernel_hermitian)
+    B = ht.to_blr(H, tree, block_size=80)
+    err = np.linalg.norm(B.to_dense() - Ac) / np.linalg.norm(Ac)
+    assert err < 1e-4
+
+
+@pytest.mark.parametrize("nrhs", [1, 3])
+def test_lu_factorization_of_assembled_h(nrhs):
+    H, tree, Ac = build_case()
+    F = ht.lu_factorization(H, tree, epsilon=1e-7, block_size=80)
+    rng = np.random.RandomState(3)
+    x = rng.randn(Ac.shape[0], nrhs)
+    if nrhs == 1:
+        x = x[:, 0]
+    b = Ac @ x
+    sol = np.asarray(ht.lu_solve(F, b, user_numbering=False))
+    assert np.linalg.norm(sol - x) / np.linalg.norm(x) < 1e-3
+    with pytest.raises(ValueError):
+        ht.cholesky_solve(F, b, user_numbering=False)
+
+
+def test_cholesky_factorization_of_assembled_h():
+    H, tree, Ac = build_case(symmetry="S")
+    F = ht.cholesky_factorization(H, tree, epsilon=1e-7, block_size=80)
+    x = np.random.RandomState(4).randn(Ac.shape[0])
+    sol = np.asarray(ht.cholesky_solve(F, Ac @ x, user_numbering=False))
+    assert np.linalg.norm(sol - x) / np.linalg.norm(x) < 1e-3
+
+
+def test_hmatrix_hmatrix_product():
+    H, tree, Ac = build_case()
+    C = ht.hmatrix_hmatrix_product(H, H, tree, epsilon=1e-7, block_size=80)
+    x = np.random.RandomState(5).randn(Ac.shape[0])
+    y = np.asarray(blr_matvec(C, x))
+    ref = Ac @ (Ac @ x)
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-3
