@@ -47,6 +47,20 @@ def _mods():
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under ~16MB/core
 
+# blocks per grid step: the grid is sequential on TPU, so per-step overhead
+# (scalar loads, DMA setup) dominates once blocks are small — group G blocks
+# into one step (one batched MXU dot + G VMEM scatter-adds) and size G so a
+# step moves ~1MB
+_GROUP_TARGET_BYTES = 1 * 1024 * 1024
+_GROUP_MAX = 32
+
+
+def _group_factor(nb: int, blk_bytes: int) -> int:
+    g = 1
+    while g < _GROUP_MAX and g * 2 * blk_bytes <= _GROUP_TARGET_BYTES and g * 2 <= nb:
+        g *= 2
+    return g
+
 
 def _vec_vmem_bytes(L: int, k: int, itemsize: int) -> int:
     lanes = -(-k // 128) * 128
@@ -65,10 +79,12 @@ def pallas_matvec_ok(dtype, out_len: int, in_len: int, k: int, blk_bytes: int) -
     if dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
         return False
     item = jnp.dtype(dtype).itemsize
+    # double-buffered step payload: grouping packs steps up to the 1MB
+    # target, so budget the larger of one block and one full group
     need = (
         _vec_vmem_bytes(out_len, k, item)
         + _vec_vmem_bytes(in_len, k, item)
-        + 2 * blk_bytes
+        + 2 * max(blk_bytes, _GROUP_TARGET_BYTES)
     )
     return need <= _VMEM_BUDGET
 
@@ -82,7 +98,7 @@ def _interpret() -> bool:
 # ======================================================================
 
 
-def _dense_kernel(trans: bool, bm: int, bn: int, in_off_ref, out_off_ref, d_ref, x_ref, y_ref):
+def _dense_kernel(trans: bool, bm: int, bn: int, G: int, in_off_ref, out_off_ref, d_ref, x_ref, y_ref):
     pl, _ = _mods()
     i = pl.program_id(0)
 
@@ -92,23 +108,36 @@ def _dense_kernel(trans: bool, bm: int, bn: int, in_off_ref, out_off_ref, d_ref,
 
     in_w = bm if trans else bn
     out_w = bn if trans else bm
-    xg = x_ref[pl.ds(in_off_ref[i], in_w), :]
-    blk = d_ref[0]
-    if trans:
-        contrib = jax.lax.dot_general(
-            blk,
-            xg,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=y_ref.dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    else:
-        contrib = jnp.dot(
-            blk, xg, preferred_element_type=y_ref.dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    off = out_off_ref[i]
-    y_ref[pl.ds(off, out_w), :] = y_ref[pl.ds(off, out_w), :] + contrib
+    base = i * G
+    # gather the G input slices, one batched MXU dot, G scatter-adds
+    xg = jnp.stack(
+        [x_ref[pl.ds(in_off_ref[base + g], in_w), :] for g in range(G)]
+    )  # [G, in_w, k]
+    blk = d_ref[:]  # [G, bm, bn]
+    cdim = 1 if trans else 2
+    contrib = jax.lax.dot_general(
+        blk,
+        xg,
+        dimension_numbers=(((cdim,), (1,)), ((0,), (0,))),
+        preferred_element_type=y_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [G, out_w, k]
+    for g in range(G):
+        off = out_off_ref[base + g]
+        y_ref[pl.ds(off, out_w), :] = y_ref[pl.ds(off, out_w), :] + contrib[g]
+
+
+def _pad_group(nb: int, G: int, *arrays):
+    """Pad the leading block dim to a multiple of G with zeros (offset pads
+    point at 0; zero blocks contribute nothing)."""
+    pad = (-nb) % G
+    if pad == 0:
+        return arrays
+    out = []
+    for a in arrays:
+        cfg = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        out.append(jnp.pad(a, cfg))
+    return tuple(out)
 
 
 @partial(jax.jit, static_argnames=("trans", "out_len"))
@@ -118,21 +147,25 @@ def dense_bucket_matvec(data, in_off, out_off, x_pad, trans: bool, out_len: int)
     pl, pltpu = _mods()
     nb, bm, bn = data.shape
     k = x_pad.shape[1]
+    item = jnp.dtype(x_pad.dtype).itemsize
+    G = _group_factor(nb, bm * (-(-bn // 128) * 128) * item)
+    data, in_off, out_off = _pad_group(nb, G, data, in_off.astype(jnp.int32), out_off.astype(jnp.int32))
+    nb_pad = data.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nb,),
+        grid=(nb_pad // G,),
         in_specs=[
-            pl.BlockSpec((1, bm, bn), lambda i, io, oo: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bm, bn), lambda i, io, oo: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        partial(_dense_kernel, trans, bm, bn),
+        partial(_dense_kernel, trans, bm, bn, G),
         out_shape=jax.ShapeDtypeStruct((out_len, k), x_pad.dtype),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(in_off.astype(jnp.int32), out_off.astype(jnp.int32), data, x_pad)
+    )(in_off, out_off, data, x_pad)
 
 
 # ======================================================================
@@ -140,7 +173,7 @@ def dense_bucket_matvec(data, in_off, out_off, x_pad, trans: bool, out_len: int)
 # ======================================================================
 
 
-def _lr_kernel(trans: bool, bm: int, bn: int, in_off_ref, out_off_ref, u_ref, v_ref, x_ref, y_ref):
+def _lr_kernel(trans: bool, bm: int, bn: int, G: int, in_off_ref, out_off_ref, u_ref, v_ref, x_ref, y_ref):
     pl, _ = _mods()
     i = pl.program_id(0)
 
@@ -150,25 +183,35 @@ def _lr_kernel(trans: bool, bm: int, bn: int, in_off_ref, out_off_ref, u_ref, v_
 
     in_w = bm if trans else bn
     out_w = bn if trans else bm
-    xg = x_ref[pl.ds(in_off_ref[i], in_w), :]
-    U = u_ref[0]  # [bm, r]
-    V = v_ref[0]  # [r, bn]
+    base = i * G
+    xg = jnp.stack(
+        [x_ref[pl.ds(in_off_ref[base + g], in_w), :] for g in range(G)]
+    )  # [G, in_w, k]
+    U = u_ref[:]  # [G, bm, r]
+    V = v_ref[:]  # [G, r, bn]
     hi = jax.lax.Precision.HIGHEST
     if trans:
-        # (U V)^T x = V^T (U^T x)
+        # (U V)^T x = V^T (U^T x), batched over the group
         t = jax.lax.dot_general(
-            U, xg, dimension_numbers=(((0,), (0,)), ((), ())),
+            U, xg, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=y_ref.dtype, precision=hi,
-        )  # [r, k]
+        )  # [G, r, k]
         contrib = jax.lax.dot_general(
-            V, t, dimension_numbers=(((0,), (0,)), ((), ())),
+            V, t, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=y_ref.dtype, precision=hi,
-        )  # [bn, k]
+        )  # [G, bn, k]
     else:
-        t = jnp.dot(V, xg, preferred_element_type=y_ref.dtype, precision=hi)
-        contrib = jnp.dot(U, t, preferred_element_type=y_ref.dtype, precision=hi)
-    off = out_off_ref[i]
-    y_ref[pl.ds(off, out_w), :] = y_ref[pl.ds(off, out_w), :] + contrib
+        t = jax.lax.dot_general(
+            V, xg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=y_ref.dtype, precision=hi,
+        )  # [G, r, k]
+        contrib = jax.lax.dot_general(
+            U, t, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=y_ref.dtype, precision=hi,
+        )  # [G, bm, k]
+    for g in range(G):
+        off = out_off_ref[base + g]
+        y_ref[pl.ds(off, out_w), :] = y_ref[pl.ds(off, out_w), :] + contrib[g]
 
 
 @partial(jax.jit, static_argnames=("trans", "out_len"))
@@ -178,19 +221,26 @@ def lr_bucket_matvec(U, V, in_off, out_off, x_pad, trans: bool, out_len: int):
     nb, bm, r = U.shape
     bn = V.shape[2]
     k = x_pad.shape[1]
+    item = jnp.dtype(x_pad.dtype).itemsize
+    lanes = lambda d: -(-d // 128) * 128
+    G = _group_factor(nb, (bm * lanes(r) + r * lanes(bn)) * item)
+    U, V, in_off, out_off = _pad_group(
+        nb, G, U, V, in_off.astype(jnp.int32), out_off.astype(jnp.int32)
+    )
+    nb_pad = U.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nb,),
+        grid=(nb_pad // G,),
         in_specs=[
-            pl.BlockSpec((1, bm, r), lambda i, io, oo: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r, bn), lambda i, io, oo: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bm, r), lambda i, io, oo: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, r, bn), lambda i, io, oo: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        partial(_lr_kernel, trans, bm, bn),
+        partial(_lr_kernel, trans, bm, bn, G),
         out_shape=jax.ShapeDtypeStruct((out_len, k), x_pad.dtype),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(in_off.astype(jnp.int32), out_off.astype(jnp.int32), U, V, x_pad)
+    )(in_off, out_off, U, V, x_pad)
