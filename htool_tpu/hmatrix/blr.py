@@ -42,7 +42,7 @@ from ..clustering.cluster_tree import ClusterTree
 from ..generator import Generator
 from .aca import batched_partial_aca
 from .block_tree import plan_block_tree
-from .compressors import batched_recompress, svd_truncation_rank
+from .compressors import batched_recompress
 
 __all__ = [
     "BLRMatrix",
@@ -367,26 +367,31 @@ def _k_densify(D, dslots, U, V, lslots):
     return D.at[dslots].set(blk)
 
 
-@partial(jax.jit, static_argnames=("Rh", "herm_b"))
+@partial(jax.jit, static_argnames=("Rh", "herm_b", "neg"))
 def _k_schur_dense_target(
-    D, U, V, ranks, ia_cls, ia_slot, jb_cls, jb_slot, t_slot, Rh, herm_b=False
+    Da, Ua, Va, Db, Ub, Vb, Dt,
+    ia_cls, ia_slot, jb_cls, jb_slot, t_slot, Rh, herm_b=False, neg=True,
 ):
-    """A_ij -= L_ik U_kj into dense targets, any class combo.
+    """Dt_ij (-)= A_ik B_kj into dense targets, any class combo.
 
-    ia_cls/jb_cls: [c] int32 (1 dense, 2 lr); slots index D or U/V.
-    With ``herm_b`` the B operand is applied conj-transposed (the Cholesky
-    Schur update A_ij -= L_ik L_jk^H, factorization.hpp:131-205)."""
-    La_d = D[ia_slot]  # [c, b, b]
-    La_u = U[ia_slot][:, :, :Rh]
-    La_v = V[ia_slot][:, :Rh, :]
+    ``(Da, Ua, Va)`` / ``(Db, Ub, Vb)`` hold the left/right operand cells
+    (the factorization passes its own arrays three times; the compressed
+    product passes two different matrices).  ia_cls/jb_cls: [c] int32
+    (1 dense, 2 lr); slots index D or U/V.  With ``herm_b`` the B operand is
+    applied conj-transposed (the Cholesky Schur update A_ij -= L_ik L_jk^H,
+    factorization.hpp:131-205).  ``neg`` selects subtraction (Schur) vs
+    accumulation (product)."""
+    La_d = Da[ia_slot]  # [c, b, b]
+    La_u = Ua[ia_slot][:, :, :Rh]
+    La_v = Va[ia_slot][:, :Rh, :]
     if herm_b:
-        Rb_d = jnp.conj(jnp.swapaxes(D[jb_slot], 1, 2))
-        Rb_u = jnp.conj(jnp.swapaxes(V[jb_slot][:, :Rh, :], 1, 2))  # [c, b, Rh]
-        Rb_v = jnp.conj(jnp.swapaxes(U[jb_slot][:, :, :Rh], 1, 2))  # [c, Rh, b]
+        Rb_d = jnp.conj(jnp.swapaxes(Db[jb_slot], 1, 2))
+        Rb_u = jnp.conj(jnp.swapaxes(Vb[jb_slot][:, :Rh, :], 1, 2))  # [c, b, Rh]
+        Rb_v = jnp.conj(jnp.swapaxes(Ub[jb_slot][:, :, :Rh], 1, 2))  # [c, Rh, b]
     else:
-        Rb_d = D[jb_slot]
-        Rb_u = U[jb_slot][:, :, :Rh]
-        Rb_v = V[jb_slot][:, :Rh, :]
+        Rb_d = Db[jb_slot]
+        Rb_u = Ub[jb_slot][:, :, :Rh]
+        Rb_v = Vb[jb_slot][:, :Rh, :]
 
     a_lr = (ia_cls == LR)[:, None, None]
     b_lr = (jb_cls == LR)[:, None, None]
@@ -404,25 +409,27 @@ def _k_schur_dense_target(
     contrib = jnp.where(
         a_lr & b_lr, ll, jnp.where(a_lr, ld, jnp.where(b_lr, dl, dd))
     )
-    return D.at[t_slot].add(-contrib)
+    return Dt.at[t_slot].add(-contrib if neg else contrib)
 
 
-@partial(jax.jit, static_argnames=("Rh", "herm_b"))
+@partial(jax.jit, static_argnames=("Rh", "herm_b", "neg"))
 def _k_schur_lr_target(
-    D, U, V, ranks, ia_cls, ia_slot, jb_cls, jb_slot, t_slot, Rh, herm_b=False
+    Da, Ua, Va, Db, Ub, Vb, Ut, Vt, ranks_t, ranks_a, ranks_b,
+    ia_cls, ia_slot, jb_cls, jb_slot, t_slot, Rh, herm_b=False, neg=True,
 ):
-    """A_ij -= L_ik U_kj appended into LR targets (at least one side LR)."""
-    La_d = D[ia_slot]
-    La_u = U[ia_slot][:, :, :Rh]
-    La_v = V[ia_slot][:, :Rh, :]
+    """Ut·Vt at t_slot (-)= A_ik B_kj appended as factor pairs (at least one
+    side LR); ranks_t tracks the append offsets."""
+    La_d = Da[ia_slot]
+    La_u = Ua[ia_slot][:, :, :Rh]
+    La_v = Va[ia_slot][:, :Rh, :]
     if herm_b:
-        Rb_d = jnp.conj(jnp.swapaxes(D[jb_slot], 1, 2))
-        Rb_u = jnp.conj(jnp.swapaxes(V[jb_slot][:, :Rh, :], 1, 2))
-        Rb_v = jnp.conj(jnp.swapaxes(U[jb_slot][:, :, :Rh], 1, 2))
+        Rb_d = jnp.conj(jnp.swapaxes(Db[jb_slot], 1, 2))
+        Rb_u = jnp.conj(jnp.swapaxes(Vb[jb_slot][:, :Rh, :], 1, 2))
+        Rb_v = jnp.conj(jnp.swapaxes(Ub[jb_slot][:, :, :Rh], 1, 2))
     else:
-        Rb_d = D[jb_slot]
-        Rb_u = U[jb_slot][:, :, :Rh]
-        Rb_v = V[jb_slot][:, :Rh, :]
+        Rb_d = Db[jb_slot]
+        Rb_u = Ub[jb_slot][:, :, :Rh]
+        Rb_v = Vb[jb_slot][:, :Rh, :]
     a_lr = (ia_cls == LR)
     b_lr = (jb_cls == LR)
 
@@ -449,29 +456,29 @@ def _k_schur_lr_target(
     )
     rc = jnp.where(
         a_lr & b_lr,
-        jnp.minimum(ranks[ia_slot], ranks[jb_slot]),
-        jnp.where(a_lr, ranks[ia_slot], ranks[jb_slot]),
+        jnp.minimum(ranks_a[ia_slot], ranks_b[jb_slot]),
+        jnp.where(a_lr, ranks_a[ia_slot], ranks_b[jb_slot]),
     ).astype(jnp.int32)
 
-    # append at column offset ranks[t_slot] (invariant: fits in 2*Rh buffer)
-    off = ranks[t_slot]
+    # append at column offset ranks_t[t_slot] (invariant: fits in 2*Rh buffer)
+    off = ranks_t[t_slot]
 
     # vectorized append: build updated blocks then scatter back
     def upd(t, u, v, r, o, Uarr, Varr):
         z = jnp.zeros((), o.dtype)
-        Ut = jax.lax.dynamic_update_slice(Uarr[t], -u, (z, o))
-        Vt = jax.lax.dynamic_update_slice(Varr[t], v, (o, z))
-        return Ut, Vt
+        Uu = jax.lax.dynamic_update_slice(Uarr[t], -u if neg else u, (z, o))
+        Vv = jax.lax.dynamic_update_slice(Varr[t], v, (o, z))
+        return Uu, Vv
 
-    Ut, Vt = jax.vmap(upd, in_axes=(0, 0, 0, 0, 0, None, None))(
-        t_slot, Uc, Vc, rc, off, U, V
+    Unew, Vnew = jax.vmap(upd, in_axes=(0, 0, 0, 0, 0, None, None))(
+        t_slot, Uc, Vc, rc, off, Ut, Vt
     )
-    U = U.at[t_slot].set(Ut)
-    V = V.at[t_slot].set(Vt)
-    ranks = ranks.at[t_slot].set(
-        jnp.minimum(off + rc, jnp.asarray(U.shape[2], jnp.int32))
+    Ut = Ut.at[t_slot].set(Unew)
+    Vt = Vt.at[t_slot].set(Vnew)
+    ranks_t = ranks_t.at[t_slot].set(
+        jnp.minimum(off + rc, jnp.asarray(Ut.shape[2], jnp.int32))
     )
-    return U, V, ranks
+    return Ut, Vt, ranks_t
 
 
 @partial(jax.jit, static_argnames=("Rh",))
@@ -657,7 +664,9 @@ def blr_lu(A: BLRMatrix, epsilon: Optional[float] = None) -> BLRMatrix:
             npad = len(tgt_dense["t"])
             ia_cls = jnp.where(jnp.arange(ia_cls.shape[0]) < npad, ia_cls, DENSE)
             jb_cls = jnp.where(jnp.arange(jb_cls.shape[0]) < npad, jb_cls, DENSE)
-            D = _k_schur_dense_target(D, U, V, ranks, ia_cls, ia, jb_cls, jb, t, Rh)
+            D = _k_schur_dense_target(
+                D, U, V, D, U, V, D, ia_cls, ia, jb_cls, jb, t, Rh
+            )
         if tgt_lr["t"]:
             npad = len(tgt_lr["t"])
             ia_cls, jb_cls = _pad_pow2([tgt_lr["ia_cls"], tgt_lr["jb_cls"]], DENSE)
@@ -668,7 +677,8 @@ def blr_lu(A: BLRMatrix, epsilon: Optional[float] = None) -> BLRMatrix:
             ia = jnp.where(jnp.arange(ia.shape[0]) < npad, ia, DUMMY_D)
             jb = jnp.where(jnp.arange(jb.shape[0]) < npad, jb, DUMMY_D)
             U, V, ranks = _k_schur_lr_target(
-                D, U, V, ranks, ia_cls, ia, jb_cls, jb, t, Rh
+                D, U, V, D, U, V, U, V, ranks, ranks, ranks,
+                ia_cls, ia, jb_cls, jb, t, Rh,
             )
             # 5. recompress touched lr targets back to rank <= R_half
             sl = sorted(set(touched_lr))
@@ -843,7 +853,7 @@ def blr_cholesky(A: BLRMatrix, epsilon: Optional[float] = None) -> BLRMatrix:
             ia_cls = jnp.where(jnp.arange(ia_cls.shape[0]) < npad, ia_cls, DENSE)
             jb_cls = jnp.where(jnp.arange(jb_cls.shape[0]) < npad, jb_cls, DENSE)
             D = _k_schur_dense_target(
-                D, U, V, ranks, ia_cls, ia, jb_cls, jb, t, Rh, herm_b=True
+                D, U, V, D, U, V, D, ia_cls, ia, jb_cls, jb, t, Rh, herm_b=True
             )
         if tgt_lr["t"]:
             npad = len(tgt_lr["t"])
@@ -854,7 +864,8 @@ def blr_cholesky(A: BLRMatrix, epsilon: Optional[float] = None) -> BLRMatrix:
             ia = jnp.where(jnp.arange(ia.shape[0]) < npad, ia, DUMMY_D)
             jb = jnp.where(jnp.arange(jb.shape[0]) < npad, jb, DUMMY_D)
             U, V, ranks = _k_schur_lr_target(
-                D, U, V, ranks, ia_cls, ia, jb_cls, jb, t, Rh, herm_b=True
+                D, U, V, D, U, V, U, V, ranks, ranks, ranks,
+                ia_cls, ia, jb_cls, jb, t, Rh, herm_b=True,
             )
             sl = sorted(set(touched_lr))
             (slots,) = _pad_pow2([sl], DUMMY_L)
@@ -889,10 +900,163 @@ def blr_cholesky(A: BLRMatrix, epsilon: Optional[float] = None) -> BLRMatrix:
 # ======================================================================
 
 
-def blr_solve(F: BLRMatrix, rhs, user_numbering: bool = False):
-    """Solve A x = rhs with a factorized BLR matrix (the lu_solve
-    equivalent, factorization.hpp:119-128): forward sweep on the unit-lower
-    block L, backward sweep on block U with the diagonal LU factors."""
+@partial(jax.jit, static_argnames=("Rh", "t_cells", "c_cells", "diag"))
+def _k_block_sweep(D, U, V, piv_g, y, order, dsl, dj, lsl, lj, dgs,
+                   Rh, t_cells, c_cells, diag):
+    """Generic block-triangular sweep as ONE ``lax.scan`` over block rows —
+    the level-scheduled batched replacement for the reference's recursive
+    triangular solves (triangular_hmatrix_matrix_solve.hpp:18,114,
+    factorization.hpp:119-128).
+
+    Per visited row (in ``order``): gather the row's off-diagonal cells
+    (dense slots ``dsl`` reading source rows ``dj``; LR slots ``lsl``/``lj``,
+    padded with the zero dummy slot), accumulate their products with the
+    already-solved rows, subtract, then apply the diagonal operation.
+
+    t_cells/c_cells: apply off-diagonal cells transposed / conjugated.
+    diag: 'none' (unit block diagonal), 'lu'/'lu_t'/'lu_c' (factored diag
+    cell + pivots), 'lo'/'lo_t'/'lo_c' and 'up'/'up_t'/'up_c' (triangular
+    diag cell, optional (conj-)transpose)."""
+
+    def body(yc, row):
+        i, ds, djr, ls, ljr, dg, pv = row
+        Dw = D[ds]
+        Uw = U[ls][:, :, :Rh]
+        Vw = V[ls][:, :Rh, :]
+        if c_cells:
+            Dw, Uw, Vw = jnp.conj(Dw), jnp.conj(Uw), jnp.conj(Vw)
+        yd = yc[djr]
+        yl = yc[ljr]
+        if t_cells:
+            acc = jnp.einsum("wji,wjk->ik", Dw, yd)
+            acc = acc + jnp.einsum("wri,wjr,wjk->ik", Vw, Uw, yl)
+        else:
+            acc = jnp.einsum("wij,wjk->ik", Dw, yd)
+            acc = acc + jnp.einsum("wir,wrj,wjk->ik", Uw, Vw, yl)
+        r = yc[i] - acc.astype(yc.dtype)
+        dgD = D[dg].astype(yc.dtype)
+        if diag == "none":
+            xi = r
+        elif diag.startswith("lu"):
+            tr = {"lu": 0, "lu_t": 1, "lu_c": 2}[diag]
+            xi = jax.scipy.linalg.lu_solve((dgD, pv), r, trans=tr)
+        else:
+            lower = diag.startswith("lo")
+            tr = 0 if diag in ("lo", "up") else (1 if diag.endswith("_t") else 2)
+            xi = jax.scipy.linalg.solve_triangular(dgD, r, lower=lower, trans=tr)
+        yc = yc.at[i].set(xi.astype(yc.dtype))
+        return yc, None
+
+    yc, _ = jax.lax.scan(body, y, (order, dsl, dj, lsl, lj, dgs, piv_g))
+    return yc
+
+
+def _sweep_tables(F: BLRMatrix, which: str, trans: str):
+    """Host-side plan for one block-triangular sweep over factor ``which``
+    ('L' strict lower + diag, 'U' strict upper + diag) applied as
+    ``op(T, trans)``.  Returns numpy (order, dsl, dj, lsl, lj, dgs) where
+    padded entries point at the zero dummy slots.  Cached on F.info."""
+    key = ("_sweep", which, trans != "N")
+    cached = F.info.get(key)
+    if cached is not None:
+        return cached
+    nL = F.nL
+    lower = which == "L"
+    fwd = lower == (trans == "N")
+    order = list(range(nL)) if fwd else list(range(nL - 1, -1, -1))
+    DUMMY_D = int(np.asarray(F.D).shape[0]) - 1
+    DUMMY_L = int(np.asarray(F.U).shape[0]) - 1
+    rows = []
+    for i in order:
+        ds, djs, ls, ljs = [], [], [], []
+        if trans == "N":
+            rng = range(i) if lower else range(i + 1, nL)
+            for j in rng:
+                c = F.cls[i, j]
+                if c == DENSE:
+                    ds.append(int(F.dense_slot[i, j])); djs.append(j)
+                elif c == LR:
+                    ls.append(int(F.lr_slot[i, j])); ljs.append(j)
+        else:
+            # op(T) row i uses cells (j, i) of T, applied transposed
+            rng = range(i + 1, nL) if lower else range(i)
+            for j in rng:
+                c = F.cls[j, i]
+                if c == DENSE:
+                    ds.append(int(F.dense_slot[j, i])); djs.append(j)
+                elif c == LR:
+                    ls.append(int(F.lr_slot[j, i])); ljs.append(j)
+        rows.append((ds, djs, ls, ljs))
+    Wd = max(1, max(len(r[0]) for r in rows))
+    Wl = max(1, max(len(r[2]) for r in rows))
+    dsl = np.full((nL, Wd), DUMMY_D, np.int32)
+    dj = np.zeros((nL, Wd), np.int32)
+    lsl = np.full((nL, Wl), DUMMY_L, np.int32)
+    lj = np.zeros((nL, Wl), np.int32)
+    for t, (ds, djs, ls, ljs) in enumerate(rows):
+        dsl[t, : len(ds)] = ds
+        dj[t, : len(djs)] = djs
+        lsl[t, : len(ls)] = ls
+        lj[t, : len(ljs)] = ljs
+    dgs = np.array([int(F.dense_slot[i, i]) for i in order], np.int32)
+    plan = (
+        np.asarray(order, np.int32), dsl, dj, lsl, lj, dgs,
+    )
+    F.info[key] = plan
+    return plan
+
+
+def _cells_plan(F: BLRMatrix):
+    """Pad/compact index maps for cell layout <-> flat vectors (cached)."""
+    plan = F.info.get("_cells")
+    if plan is None:
+        ar = np.arange(F.b)[None, :]
+        pad_idx = np.minimum(F.cell_off[:, None] + ar, F.n - 1)
+        mask = ar < F.cell_size[:, None]
+        keep = np.concatenate(
+            [i * F.b + np.arange(sz) for i, sz in enumerate(F.cell_size)]
+        )
+        plan = (
+            jnp.asarray(pad_idx, jnp.int32),
+            jnp.asarray(mask),
+            jnp.asarray(keep, jnp.int32),
+        )
+        F.info["_cells"] = plan
+    return plan
+
+
+def _to_cells(F: BLRMatrix, x, dtype):
+    pad_idx, mask, _ = _cells_plan(F)
+    return jnp.where(mask[:, :, None], x[pad_idx].astype(dtype), 0)
+
+
+def _from_cells(F: BLRMatrix, yc):
+    _, _, keep = _cells_plan(F)
+    return yc.reshape(F.nL * F.b, yc.shape[-1])[keep]
+
+
+def _run_sweep(F: BLRMatrix, y, which: str, trans: str, diag: str,
+               conj_cells: bool = False):
+    order, dsl, dj, lsl, lj, dgs = _sweep_tables(F, which, trans)
+    piv = F.piv if F.piv is not None else jnp.zeros((F.nL, F.b), jnp.int32)
+    piv_g = piv[jnp.asarray(order)]
+    return _k_block_sweep(
+        F.D, F.U, F.V, piv_g, y,
+        jnp.asarray(order), jnp.asarray(dsl), jnp.asarray(dj),
+        jnp.asarray(lsl), jnp.asarray(lj), jnp.asarray(dgs),
+        F.R_half, trans != "N", conj_cells or trans == "C", diag,
+    )
+
+
+def blr_solve(F: BLRMatrix, rhs, user_numbering: bool = False,
+              trans: str = "N"):
+    """Solve op(A) x = rhs with a factorized BLR matrix — the lu_solve /
+    cholesky_solve equivalent (factorization.hpp:119-128,245-273) with the
+    reference's trans ∈ {'N','T','C'} surface.
+
+    LU stores A = L̂·Û with unit-block-diagonal L̂ and factored diagonal
+    cells in Û; Cholesky stores A = L·L^H.  Each sweep is one scanned
+    batched kernel (``_k_block_sweep``)."""
     if not F.factorized:
         raise ValueError("matrix is not factorized; call blr_lu first")
     rhs = jnp.asarray(rhs)
@@ -900,119 +1064,147 @@ def blr_solve(F: BLRMatrix, rhs, user_numbering: bool = False):
     if squeeze:
         rhs = rhs[:, None]
     if user_numbering:
-        inv = np.empty(F.n, np.int64)
-        inv[F.permutation] = np.arange(F.n)
         rhs = rhs[jnp.asarray(F.permutation)]
-    nL, b = F.nL, F.b
-    k = rhs.shape[1]
     dtype = jnp.result_type(F.dtype, rhs.dtype)
-
-    # pad rhs into cells [nL, b, k]
-    y = jnp.zeros((nL, b, k), dtype)
-    for i in range(nL):
-        off, sz = int(F.cell_off[i]), int(F.cell_size[i])
-        y = y.at[i, :sz].set(rhs[off : off + sz].astype(dtype))
-
-    rk = F.ranks
-    Rh = F.R_half
-
-    def cell_apply(i, j, x):
-        c = F.cls[i, j]
-        if c == DENSE:
-            return F.D[int(F.dense_slot[i, j])] @ x
-        s = int(F.lr_slot[i, j])
-        return F.U[s][:, :Rh] @ (F.V[s][:Rh, :] @ x)
-
-    def cell_apply_H(i, j, x):
-        """Apply cell (i, j) conj-transposed: L_ij^H x."""
-        c = F.cls[i, j]
-        if c == DENSE:
-            return jnp.conj(F.D[int(F.dense_slot[i, j])]).T @ x
-        s = int(F.lr_slot[i, j])
-        return jnp.conj(F.V[s][:Rh, :]).T @ (jnp.conj(F.U[s][:, :Rh]).T @ x)
+    y = _to_cells(F, rhs, dtype)
 
     if F.kind == "chol":
-        # forward: L y = b with non-unit lower-triangular diagonal cells
-        for i in range(nL):
-            acc = jnp.zeros((b, k), dtype)
-            for j in range(i):
-                if F.cls[i, j] != ZERO:
-                    acc = acc + cell_apply(i, j, y[j])
-            L_i = F.D[int(F.dense_slot[i, i])]
-            yi = jax.scipy.linalg.solve_triangular(L_i, y[i] - acc, lower=True)
-            y = y.at[i].set(yi.astype(dtype))
-        # backward: L^H x = y, using the stored lower cells conj-transposed
-        x = jnp.zeros_like(y)
-        for i in range(nL - 1, -1, -1):
-            acc = jnp.zeros((b, k), dtype)
-            for j in range(i + 1, nL):
-                if F.cls[j, i] != ZERO:
-                    acc = acc + cell_apply_H(j, i, x[j])
-            L_i = F.D[int(F.dense_slot[i, i])]
-            xi = jax.scipy.linalg.solve_triangular(
-                L_i, y[i] - acc, lower=True, trans=2
-            )
-            x = x.at[i].set(xi.astype(dtype))
+        if trans == "T":
+            # A^T = conj(A) for hermitian A: solve via global conj trick
+            y = jnp.conj(y)
+        y = _run_sweep(F, y, "L", "N", "lo")
+        y = _run_sweep(F, y, "L", "C", "lo_c")
+        if trans == "T":
+            y = jnp.conj(y)
     else:
-        # forward: y_i -= sum_{j<i} L_ij y_j  (L has unit diagonal)
-        for i in range(1, nL):
-            acc = jnp.zeros((b, k), dtype)
-            for j in range(i):
-                if F.cls[i, j] != ZERO:
-                    acc = acc + cell_apply(i, j, y[j])
-            y = y.at[i].add(-acc)
+        if trans == "N":
+            y = _run_sweep(F, y, "L", "N", "none")
+            y = _run_sweep(F, y, "U", "N", "lu")
+        else:
+            # op(A) = op(Û)·op(L̂): sweep Û^T/H first, then L̂^T/H
+            d = "lu_t" if trans == "T" else "lu_c"
+            y = _run_sweep(F, y, "U", trans, d)
+            y = _run_sweep(F, y, "L", trans, "none")
 
-        # backward: x_i = U_ii^{-1} (y_i - sum_{j>i} U_ij x_j)
-        x = jnp.zeros_like(y)
-        for i in range(nL - 1, -1, -1):
-            acc = jnp.zeros((b, k), dtype)
-            for j in range(i + 1, nL):
-                if F.cls[i, j] != ZERO:
-                    acc = acc + cell_apply(i, j, x[j])
-            lu_i = F.D[int(F.dense_slot[i, i])]
-            xi = jax.scipy.linalg.lu_solve((lu_i, F.piv[i]), y[i] - acc)
-            x = x.at[i].set(xi.astype(dtype))
-
-    # compact
-    out = jnp.zeros((F.n, k), dtype)
-    for i in range(nL):
-        off, sz = int(F.cell_off[i]), int(F.cell_size[i])
-        out = out.at[off : off + sz].set(x[i, :sz])
+    out = _from_cells(F, y)
     if user_numbering:
         out = jnp.zeros_like(out).at[jnp.asarray(F.permutation)].set(out)
     return out[:, 0] if squeeze else out
 
 
+def blr_triangular_solve(F: BLRMatrix, B, which: str = "L", side: str = "L",
+                         trans: str = "N"):
+    """Standalone block-triangular solve with one factor of a BLR matrix:
+    ``op(T)·X = B`` (side 'L') or ``X·op(T) = B`` (side 'R'), where T is the
+    L or U factor of a factorized BLR matrix, or the (lower/upper) triangle
+    of an unfactorized triangular BLR matrix.
+
+    The reference surface this matches: triangular_hmatrix_matrix_solve.hpp:
+    18 (side 'L'), :114 (side 'R'), with transa ∈ {'N','T','C'}.  ``B`` may
+    also be a ``(Ub, Vb)`` low-rank factor pair (the
+    triangular_hmatrix_lrmat_solve.hpp variant): side 'L' solves on the U
+    factor, side 'R' on the V factor, returning a new pair."""
+    if which not in ("L", "U"):
+        raise ValueError("which must be 'L' or 'U'")
+    if isinstance(B, tuple):
+        Ub, Vb = B
+        if side == "L":
+            return blr_triangular_solve(F, jnp.asarray(Ub), which, "L", trans), Vb
+        return Ub, blr_triangular_solve(F, jnp.asarray(Vb), which, "R", trans)
+
+    B = jnp.asarray(B)
+    if side == "R":
+        # X op(T) = B  <=>  op(T)^T X^T = B^T ; 'C' via the conj trick
+        if trans == "C":
+            out = blr_triangular_solve(F, jnp.conj(B).T, which, "L", "N")
+            return jnp.conj(out).T
+        flipped = "T" if trans == "N" else "N"
+        return blr_triangular_solve(F, B.T, which, "L", flipped).T
+
+    squeeze = B.ndim == 1
+    if squeeze:
+        B = B[:, None]
+    dtype = jnp.result_type(F.dtype, B.dtype)
+    y = _to_cells(F, B, dtype)
+
+    if F.factorized and F.kind == "chol":
+        if which == "L":
+            d = {"N": "lo", "T": "lo_t", "C": "lo_c"}[trans]
+            y = _run_sweep(F, y, "L", trans, d)
+        else:
+            # 'U' factor of a Cholesky factorization is L^H
+            if trans == "N":  # L^H x = b
+                y = _run_sweep(F, y, "L", "C", "lo_c")
+            elif trans == "C":  # (L^H)^H = L
+                y = _run_sweep(F, y, "L", "N", "lo")
+            else:  # (L^H)^T = conj(L): conj trick
+                y = jnp.conj(_run_sweep(F, jnp.conj(y), "L", "N", "lo"))
+    elif F.factorized:
+        if which == "L":
+            d = "none"
+        else:
+            d = {"N": "lu", "T": "lu_t", "C": "lu_c"}[trans]
+        y = _run_sweep(F, y, which, trans, d)
+    else:
+        # unfactorized triangular BLR matrix: diag cells are triangular
+        base = "lo" if which == "L" else "up"
+        d = base if trans == "N" else base + ("_t" if trans == "T" else "_c")
+        y = _run_sweep(F, y, which, trans, d)
+
+    out = _from_cells(F, y)
+    return out[:, 0] if squeeze else out
+
+
+@partial(jax.jit, static_argnames=("Rh",))
+def _k_blr_matvec(D, U, V, xc, d_i, d_j, d_slot, l_i, l_j, l_slot, Rh):
+    """All-cells batched y = A x: two einsums + two scatter-adds."""
+    yc = jnp.zeros_like(xc)
+    cd = jnp.einsum("cij,cjk->cik", D[d_slot].astype(xc.dtype), xc[d_j])
+    yc = yc.at[d_i].add(cd)
+    cl = jnp.einsum(
+        "cir,crj,cjk->cik",
+        U[l_slot][:, :, :Rh].astype(xc.dtype),
+        V[l_slot][:, :Rh, :].astype(xc.dtype),
+        xc[l_j],
+    )
+    yc = yc.at[l_i].add(cl)
+    return yc
+
+
 def blr_matvec(A: BLRMatrix, x):
-    """y = A x in cluster numbering (dense oracle for tests)."""
+    """y = A x in cluster numbering: one batched kernel over all cells."""
     x = jnp.asarray(x)
     squeeze = x.ndim == 1
     if squeeze:
         x = x[:, None]
-    nL, b, Rh = A.nL, A.b, A.R_half
-    k = x.shape[1]
     dtype = jnp.result_type(A.dtype, x.dtype)
-    xc = jnp.zeros((nL, b, k), dtype)
-    for j in range(nL):
-        off, sz = int(A.cell_off[j]), int(A.cell_size[j])
-        xc = xc.at[j, :sz].set(x[off : off + sz].astype(dtype))
-    yc = jnp.zeros((nL, b, k), dtype)
-    for i in range(nL):
-        acc = jnp.zeros((b, k), dtype)
-        for j in range(nL):
-            c = A.cls[i, j]
-            if c == ZERO:
-                continue
-            if c == DENSE:
-                acc = acc + A.D[int(A.dense_slot[i, j])] @ xc[j]
-            else:
-                s = int(A.lr_slot[i, j])
-                acc = acc + A.U[s][:, :Rh] @ (A.V[s][:Rh, :] @ xc[j])
-        yc = yc.at[i].set(acc)
-    out = jnp.zeros((A.n, k), dtype)
-    for i in range(nL):
-        off, sz = int(A.cell_off[i]), int(A.cell_size[i])
-        out = out.at[off : off + sz].set(yc[i, :sz])
+    xc = _to_cells(A, x, dtype)
+
+    plan = A.info.get("_matvec")
+    if plan is None:
+        DUMMY_D = int(np.asarray(A.D).shape[0]) - 1
+        DUMMY_L = int(np.asarray(A.U).shape[0]) - 1
+        di, dj_ = np.nonzero(A.cls == DENSE)
+        li, lj_ = np.nonzero(A.cls == LR)
+        dsl = A.dense_slot[di, dj_]
+        lsl = A.lr_slot[li, lj_]
+        def padded(a, dummy):
+            n = max(1, len(a))
+            p = 1
+            while p < n:
+                p *= 2
+            out = np.full(p, dummy, np.int32)
+            out[: len(a)] = a
+            return jnp.asarray(out)
+        plan = (
+            padded(di, 0), padded(dj_, 0), padded(dsl, DUMMY_D),
+            padded(li, 0), padded(lj_, 0), padded(lsl, DUMMY_L),
+        )
+        A.info["_matvec"] = plan
+    d_i, d_j, d_slot, l_i, l_j, l_slot = plan
+    yc = _k_blr_matvec(A.D, A.U, A.V, xc, d_i, d_j, d_slot, l_i, l_j, l_slot,
+                       A.R_half)
+    out = _from_cells(A, yc)
     return out[:, 0] if squeeze else out
 
 
@@ -1074,47 +1266,93 @@ def blr_matmul(A: BLRMatrix, B: BLRMatrix, epsilon: Optional[float] = None) -> B
         epsilon=eps,
         permutation=A.permutation,
     )
-    return _blr_matmul_simple(A, B, C, eps)
+    return _blr_matmul_batched(A, B, C, eps)
 
 
-def _cell_dense(M: BLRMatrix, i, j):
-    c = M.cls[i, j]
-    if c == ZERO:
-        return None
-    if c == DENSE:
-        return M.D[int(M.dense_slot[i, j])]
-    s = int(M.lr_slot[i, j])
-    return M.U[s][:, : M.R_half] @ M.V[s][: M.R_half, :]
+def _widen_lr(M: BLRMatrix, Rh: int):
+    """Return (D, U, V, ranks) of M with LR buffers padded to width >= Rh
+    so the shared Schur kernels can slice [:Rh] on either operand."""
+    if M.U.shape[2] >= Rh:
+        return M.D, M.U, M.V, M.ranks
+    padU = jnp.zeros((M.U.shape[0], M.b, Rh - M.U.shape[2]), M.dtype)
+    padV = jnp.zeros((M.V.shape[0], Rh - M.V.shape[1], M.b), M.dtype)
+    return (
+        M.D,
+        jnp.concatenate([M.U, padU], axis=2),
+        jnp.concatenate([M.V, padV], axis=1),
+        M.ranks,
+    )
 
 
-def _blr_matmul_simple(A: BLRMatrix, B: BLRMatrix, C: BLRMatrix, eps):
-    """Reference-style evaluation: per target cell, accumulate products.
-    Dense targets accumulate dense; LR targets accumulate factor pairs then
-    recompress once."""
-    nL, b, Rh = A.nL, A.b, C.R_half
+def _blr_matmul_batched(A: BLRMatrix, B: BLRMatrix, C: BLRMatrix, eps):
+    """Batched middle-index sweep: for each k, one batched Schur-style kernel
+    per target class accumulates all A_ik·B_kj contributions, then one
+    batched recompression truncates touched LR targets.  O(nL) device
+    dispatches total — same schedule machinery as ``blr_lu``, replacing the
+    reference's per-(i,j,k) recursion (add_hmatrix_hmatrix_product.hpp:24-312)."""
+    nL, Rh = A.nL, C.R_half
+    Da, Ua, Va, ranks_a = _widen_lr(A, Rh)
+    Db, Ub, Vb, ranks_b = _widen_lr(B, Rh)
     D, U, V, ranks = C.D, C.U, C.V, C.ranks
-    for i in range(nL):
-        for j in range(nL):
-            tc = C.cls[i, j]
-            if tc == ZERO:
+    DUMMY_DA = Da.shape[0] - 1
+    DUMMY_DB = Db.shape[0] - 1
+    DUMMY_DT = D.shape[0] - 1
+    DUMMY_LT = U.shape[0] - 1
+
+    for k in range(nL):
+        tgt_dense = {"ia_cls": [], "ia": [], "jb_cls": [], "jb": [], "t": []}
+        tgt_lr = {"ia_cls": [], "ia": [], "jb_cls": [], "jb": [], "t": []}
+        touched_lr = []
+        for i in range(nL):
+            cik = A.cls[i, k]
+            if cik == ZERO:
                 continue
-            acc = jnp.zeros((b, b), C.dtype)
-            for k in range(nL):
-                if A.cls[i, k] == ZERO or B.cls[k, j] == ZERO:
+            ia = int(A.dense_slot[i, k] if cik == DENSE else A.lr_slot[i, k])
+            for j in range(nL):
+                ckj = B.cls[k, j]
+                if ckj == ZERO:
                     continue
-                acc = acc + _cell_dense(A, i, k) @ _cell_dense(B, k, j)
-            if tc == DENSE:
-                D = D.at[int(C.dense_slot[i, j])].set(acc)
-            else:
-                # compress the accumulated cell at epsilon
-                Uf, s, Vh = jnp.linalg.svd(acc, full_matrices=False)
-                r = jnp.minimum(svd_truncation_rank(s[None], eps)[0], Rh)
-                w = min(int(s.shape[0]), C.R_buf)
-                keep = jnp.arange(w) < r
-                sv = jnp.where(keep, s[:w], 0)
-                sl = int(C.lr_slot[i, j])
-                U = U.at[sl, :, :w].set((Uf[:, :w] * sv[None, :]).astype(C.dtype))
-                V = V.at[sl, :w, :].set(Vh[:w].astype(C.dtype))
-                ranks = ranks.at[sl].set(r.astype(jnp.int32))
+                jb = int(B.dense_slot[k, j] if ckj == DENSE else B.lr_slot[k, j])
+                if C.cls[i, j] == DENSE:
+                    g = tgt_dense
+                    g["t"].append(int(C.dense_slot[i, j]))
+                else:
+                    g = tgt_lr
+                    g["t"].append(int(C.lr_slot[i, j]))
+                    touched_lr.append(int(C.lr_slot[i, j]))
+                g["ia_cls"].append(cik)
+                g["ia"].append(ia)
+                g["jb_cls"].append(ckj)
+                g["jb"].append(jb)
+
+        if tgt_dense["t"]:
+            npad = len(tgt_dense["t"])
+            ia_cls, jb_cls = _pad_pow2(
+                [tgt_dense["ia_cls"], tgt_dense["jb_cls"]], DENSE
+            )
+            ia = _pad_pow2([tgt_dense["ia"]], DUMMY_DA)[0]
+            jb = _pad_pow2([tgt_dense["jb"]], DUMMY_DB)[0]
+            t = _pad_pow2([tgt_dense["t"]], DUMMY_DT)[0]
+            ia_cls = jnp.where(jnp.arange(ia_cls.shape[0]) < npad, ia_cls, DENSE)
+            jb_cls = jnp.where(jnp.arange(jb_cls.shape[0]) < npad, jb_cls, DENSE)
+            D = _k_schur_dense_target(
+                Da, Ua, Va, Db, Ub, Vb, D,
+                ia_cls, ia, jb_cls, jb, t, Rh, neg=False,
+            )
+        if tgt_lr["t"]:
+            npad = len(tgt_lr["t"])
+            ia_cls, jb_cls = _pad_pow2([tgt_lr["ia_cls"], tgt_lr["jb_cls"]], DENSE)
+            ia = _pad_pow2([tgt_lr["ia"]], DUMMY_DA)[0]
+            jb = _pad_pow2([tgt_lr["jb"]], DUMMY_DB)[0]
+            t = _pad_pow2([tgt_lr["t"]], DUMMY_LT)[0]
+            ia = jnp.where(jnp.arange(ia.shape[0]) < npad, ia, DUMMY_DA)
+            jb = jnp.where(jnp.arange(jb.shape[0]) < npad, jb, DUMMY_DB)
+            U, V, ranks = _k_schur_lr_target(
+                Da, Ua, Va, Db, Ub, Vb, U, V, ranks, ranks_a, ranks_b,
+                ia_cls, ia, jb_cls, jb, t, Rh, neg=False,
+            )
+            sl = sorted(set(touched_lr))
+            (slots,) = _pad_pow2([sl], DUMMY_LT)
+            U, V, ranks = _k_recompress(U, V, ranks, slots, eps, Rh)
     C.D, C.U, C.V, C.ranks = D, U, V, ranks
     return C
