@@ -111,6 +111,14 @@ def to_blr(
     """
     if h.shape[0] != h.shape[1] or h.t_root_off != 0 or h.s_root_off != 0:
         raise ValueError("to_blr needs a square, non-restricted H-matrix")
+    if h.shape[0] != tree.n_points or not np.array_equal(
+        np.asarray(h.perm_t), tree.permutation
+    ):
+        raise ValueError(
+            "tree does not match the H-matrix: to_blr must be given the "
+            "cluster tree the matrix was assembled over "
+            f"(h.shape[0]={h.shape[0]}, tree.n_points={tree.n_points})"
+        )
     if epsilon is None:
         epsilon = 1e-6
 
@@ -203,6 +211,9 @@ def to_blr(
         while R_half < rmax:
             R_half *= 2
         R_half = max(16, min(R_half, b // 2))
+    # same alignment invariant as build_blr: multiple of 8, at most b//2
+    R_half = max(8, min(int(R_half), b // 2))
+    R_half = int(-(-R_half // 8) * 8)
     R_buf = 2 * R_half
 
     # ---- build cells -------------------------------------------------------
@@ -309,19 +320,26 @@ def cholesky_factorization(
     return blr_cholesky(to_blr(h, tree, block_size=block_size, epsilon=epsilon), epsilon)
 
 
-def lu_solve(F: BLRMatrix, rhs, user_numbering: bool = True):
-    """Solve with a compressed LU (reference ``lu_solve``,
-    ``factorization.hpp:256``)."""
+def lu_solve(F: BLRMatrix, rhs, user_numbering: bool = True, trans: str = "N"):
+    """Solve op(A) x = rhs with a compressed LU (reference ``lu_solve``,
+    ``factorization.hpp:256``), trans ∈ {'N','T','C'}."""
     if not (F.factorized and F.kind == "lu"):
         raise ValueError("lu_solve needs an LU-factorized BLRMatrix")
-    return blr_solve(F, rhs, user_numbering=user_numbering)
+    if trans not in ("N", "T", "C"):
+        raise ValueError("trans must be 'N', 'T' or 'C'")
+    return blr_solve(F, rhs, user_numbering=user_numbering, trans=trans)
 
 
-def cholesky_solve(F: BLRMatrix, rhs, user_numbering: bool = True):
+def cholesky_solve(F: BLRMatrix, rhs, user_numbering: bool = True,
+                   UPLO: str = "L"):
     """Solve with a compressed Cholesky (reference ``cholesky_solve``,
-    ``factorization.hpp:273``)."""
+    ``factorization.hpp:273``).  Storage is canonical lower (A = L·L^H); the
+    UPLO argument mirrors the reference surface — for a hermitian matrix the
+    'U' factorization solves the same system, so both values are accepted."""
     if not (F.factorized and F.kind == "chol"):
         raise ValueError("cholesky_solve needs a Cholesky-factorized BLRMatrix")
+    if UPLO not in ("L", "U"):
+        raise ValueError("UPLO must be 'L' or 'U'")
     return blr_solve(F, rhs, user_numbering=user_numbering)
 
 

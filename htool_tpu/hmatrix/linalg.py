@@ -183,7 +183,8 @@ def matvec(h: HMatrix, x, op: str = "N"):
                     r = bucket.rank_padded
                     blk_bytes = (bm * lanes(r) + r * lanes(bn)) * item
                 if pallas_matvec_ok(
-                    dtype, y_pad.shape[0], x_pad.shape[0], x_pad.shape[1], blk_bytes
+                    dtype, y_pad.shape[0], x_pad.shape[0], x_pad.shape[1],
+                    blk_bytes, in_w, out_w
                 ):
                     trans = mode in ("T", "C")  # 'C'=='T', 'conj'=='N' (real)
                     if is_dense:

@@ -55,21 +55,35 @@ _GROUP_TARGET_BYTES = 1 * 1024 * 1024
 _GROUP_MAX = 32
 
 
-def _group_factor(nb: int, blk_bytes: int) -> int:
+def _lanes(d: int) -> int:
+    return -(-d // 128) * 128
+
+
+def _step_bytes(blk_bytes: int, in_w: int, out_w: int, k: int, item: int) -> int:
+    """VMEM bytes of ONE grid step at group size 1: the double-buffered block
+    payload plus the gathered input stack and the contribution produced by
+    the batched dot (both [·, w, lanes(k)] VMEM temporaries)."""
+    return blk_bytes + (in_w + out_w) * _lanes(k) * item
+
+
+def _group_factor(nb: int, blk_bytes: int, in_w: int, out_w: int, k: int,
+                  item: int) -> int:
+    per = _step_bytes(blk_bytes, in_w, out_w, k, item)
     g = 1
-    while g < _GROUP_MAX and g * 2 * blk_bytes <= _GROUP_TARGET_BYTES and g * 2 <= nb:
+    while g < _GROUP_MAX and g * 2 * 2 * per <= 2 * _GROUP_TARGET_BYTES and g * 2 <= nb:
         g *= 2
     return g
 
 
 def _vec_vmem_bytes(L: int, k: int, itemsize: int) -> int:
-    lanes = -(-k // 128) * 128
-    return L * lanes * itemsize
+    return L * _lanes(k) * itemsize
 
 
-def pallas_matvec_ok(dtype, out_len: int, in_len: int, k: int, blk_bytes: int) -> bool:
-    """Whether the fused kernels apply: TPU backend, Mosaic-supported real
-    dtype, and the resident vectors + double-buffered block fit in VMEM."""
+def pallas_matvec_ok(dtype, out_len: int, in_len: int, k: int, blk_bytes: int,
+                     in_w: int = 0, out_w: int = 0) -> bool:
+    """Whether the fused resident kernels apply: TPU backend,
+    Mosaic-supported real dtype, and the resident vectors + double-buffered
+    group payload (block + gather/contribution scratch) fit in VMEM."""
     mode = os.environ.get("HTOOL_TPU_PALLAS", "auto")
     if mode == "0":
         return False
@@ -79,12 +93,13 @@ def pallas_matvec_ok(dtype, out_len: int, in_len: int, k: int, blk_bytes: int) -
     if dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
         return False
     item = jnp.dtype(dtype).itemsize
-    # double-buffered step payload: grouping packs steps up to the 1MB
-    # target, so budget the larger of one block and one full group
+    # grouping packs steps up to the target, so budget the larger of one
+    # step's payload and one full group
+    per = _step_bytes(blk_bytes, in_w, out_w, k, item)
     need = (
         _vec_vmem_bytes(out_len, k, item)
         + _vec_vmem_bytes(in_len, k, item)
-        + 2 * max(blk_bytes, _GROUP_TARGET_BYTES)
+        + 2 * max(per, _GROUP_TARGET_BYTES)
     )
     return need <= _VMEM_BUDGET
 
@@ -148,7 +163,8 @@ def dense_bucket_matvec(data, in_off, out_off, x_pad, trans: bool, out_len: int)
     nb, bm, bn = data.shape
     k = x_pad.shape[1]
     item = jnp.dtype(x_pad.dtype).itemsize
-    G = _group_factor(nb, bm * (-(-bn // 128) * 128) * item)
+    in_w, out_w = (bm, bn) if trans else (bn, bm)
+    G = _group_factor(nb, bm * _lanes(bn) * item, in_w, out_w, k, item)
     data, in_off, out_off = _pad_group(nb, G, data, in_off.astype(jnp.int32), out_off.astype(jnp.int32))
     nb_pad = data.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -222,8 +238,9 @@ def lr_bucket_matvec(U, V, in_off, out_off, x_pad, trans: bool, out_len: int):
     bn = V.shape[2]
     k = x_pad.shape[1]
     item = jnp.dtype(x_pad.dtype).itemsize
-    lanes = lambda d: -(-d // 128) * 128
-    G = _group_factor(nb, (bm * lanes(r) + r * lanes(bn)) * item)
+    in_w, out_w = (bm, bn) if trans else (bn, bm)
+    G = _group_factor(nb, (bm * _lanes(r) + r * _lanes(bn)) * item,
+                      in_w, out_w, k, item)
     U, V, in_off, out_off = _pad_group(
         nb, G, U, V, in_off.astype(jnp.int32), out_off.astype(jnp.int32)
     )
