@@ -30,9 +30,24 @@ class KrylovResult(NamedTuple):
     converged: jnp.ndarray  # bool
 
 
-def _vdot_cols(a, b):
-    """Per-column <a, b> with conjugation: [n, k] x [n, k] -> [k]."""
-    return jnp.sum(jnp.conj(a) * b, axis=0)
+def _make_vdot(axis_name: Optional[str]):
+    """Per-column <a, b> with conjugation: [n, k] x [n, k] -> [k].
+
+    With ``axis_name``, the vectors are per-device slices inside a
+    ``shard_map`` and the dot is completed with a ``psum`` over the mesh
+    axis — the MPI_Allreduce that HPDDM's Krylov loop issues for its global
+    dot products (SURVEY.md §3.3)."""
+
+    def vdot(a, b):
+        d = jnp.sum(jnp.conj(a) * b, axis=0)
+        if axis_name is not None:
+            d = jax.lax.psum(d, axis_name)
+        return d
+
+    return vdot
+
+
+_vdot_cols = _make_vdot(None)
 
 
 def _norm_cols(a):
@@ -46,12 +61,20 @@ def cg(
     x0=None,
     tol: float = 1e-6,
     maxiter: int = 200,
+    axis_name: Optional[str] = None,
 ) -> KrylovResult:
     """Preconditioned conjugate gradient for SPD/HPD operators.
 
     ``A`` and ``M`` map [n, k] -> [n, k].  Stops when every column satisfies
-    ``||b - A x|| <= tol * ||b||``.
+    ``||b - A x|| <= tol * ||b||``.  With ``axis_name``, runs on per-device
+    vector slices inside a ``shard_map`` (dots psum over the axis; padded
+    slice rows must be zero).
     """
+    _vdot_cols = _make_vdot(axis_name)
+
+    def _norm_cols(a):
+        return jnp.sqrt(jnp.abs(_vdot_cols(a, a)).real)
+
     b = jnp.asarray(b)
     squeeze = b.ndim == 1
     if squeeze:
@@ -104,14 +127,21 @@ def gmres(
     tol: float = 1e-6,
     maxiter: int = 200,
     restart: int = 40,
+    axis_name: Optional[str] = None,
 ) -> KrylovResult:
     """Left-preconditioned restarted GMRES(m) with modified Gram-Schmidt and
     Givens rotations, vectorized over RHS columns.
 
     Iterates on the preconditioned system ``M A x = M b``; the convergence
     test uses the preconditioned residual (HPDDM's default), with the final
-    reported residual recomputed unpreconditioned.
+    reported residual recomputed unpreconditioned.  With ``axis_name``, runs
+    on per-device vector slices inside a ``shard_map``.
     """
+    _vdot_cols = _make_vdot(axis_name)
+
+    def _norm_cols(a):
+        return jnp.sqrt(jnp.abs(_vdot_cols(a, a)).real)
+
     b = jnp.asarray(b)
     squeeze = b.ndim == 1
     if squeeze:
