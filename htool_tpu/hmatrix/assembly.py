@@ -80,7 +80,18 @@ def _block_indices(perm: np.ndarray, offs: np.ndarray, sizes: np.ndarray, pad: i
 _COMPRESSORS = {}
 
 
-def _get_compressor(name: str):
+def _get_compressor(name):
+    """Resolve a compressor: a registry name, or a user-supplied CALLABLE
+    with the ``batched_partial_aca`` signature — the
+    ``VirtualLowRankGenerator`` hook (virtual_lrmat_generator.hpp:11-56)::
+
+        compressor(generator, rows, cols, t_sizes, s_sizes, epsilon, rmax,
+                   reqrank) -> (U [nb,m,rmax], V [nb,rmax,n], rank [nb],
+                                failed [nb])
+
+    ``failed`` marks blocks that must fall back to dense storage."""
+    if callable(name):
+        return name
     if not _COMPRESSORS:
         from .compressors import batched_full_aca, batched_svd_compress
 
@@ -98,12 +109,100 @@ def _get_compressor(name: str):
         ) from None
 
 
+# ---- memory-bounded escalating compression -------------------------------
+
+_ACA_CHUNK_BUDGET = int(2e9)  # bytes of U/V buffers per compression launch
+_ACA_CAPS = (64, 256)  # escalating rank caps before the full advantage bound
+
+
+def _compress_escalating(
+    compress, generator, rows, cols, t_szs, s_szs, epsilon, rmax, reqrank
+):
+    """Run the batched compressor with escalating rank caps and bounded
+    buffer memory.
+
+    The advantage bound ``rmax ~ mn/(m+n)`` (partialACA.hpp:84) can be
+    hundreds while realized ranks are ~10, and the batched buffers are
+    allocated at ``rmax`` — at BASELINE scales that alone OOMs the chip.  So:
+    compress everything at a small cap first; only blocks that fail escalate
+    to the next cap (their ``failed`` flag means "hit the cap without
+    meeting the estimator"); the last pass runs at the true ``rmax`` so the
+    final failures are genuine dense fallbacks.  Each pass is chunked so
+    U/V buffers stay under a fixed byte budget (one compiled shape per
+    (bucket, cap): chunks are padded to a common size).
+
+    Returns (U [nb, m, w], V [nb, w, n], rank [nb] np, failed [nb] np) with
+    ``w`` the smallest pow2 covering the realized ranks."""
+    nb, bm = rows.shape
+    bn = cols.shape[1]
+    itemsize = jnp.dtype(generator.dtype).itemsize
+
+    if reqrank > 0:
+        caps = [rmax]
+    else:
+        caps = [c for c in _ACA_CAPS if c < rmax] + [rmax]
+
+    rank = np.zeros(nb, np.int64)
+    failed = np.ones(nb, bool)
+    pending = np.ones(nb, bool)
+    results = []  # (global idx, U chunk, V chunk, cap)
+
+    for cap in caps:
+        idx = np.nonzero(pending)[0]
+        if idx.size == 0:
+            break
+        per_block = (bm + bn) * cap * itemsize * 3  # U + V + transients
+        chunk = max(1, min(int(_ACA_CHUNK_BUDGET // per_block), idx.size))
+        p = 1
+        while p * 2 <= chunk:
+            p *= 2
+        chunk = p
+        for lo in range(0, idx.size, chunk):
+            sel = idx[lo : lo + chunk]
+            padn = chunk - sel.size
+            sel_pad = np.concatenate([sel, np.full(padn, sel[-1], sel.dtype)])
+            Uc, Vc, rk, fl = compress(
+                generator,
+                rows[sel_pad],
+                cols[sel_pad],
+                jnp.asarray(t_szs[sel_pad], jnp.int32),
+                jnp.asarray(s_szs[sel_pad], jnp.int32),
+                epsilon,
+                cap,
+                reqrank,
+            )
+            rk = np.asarray(rk)[: sel.size]
+            fl = np.asarray(fl)[: sel.size]
+            ok = ~fl
+            rank[sel[ok]] = rk[ok]
+            failed[sel[ok]] = False
+            pending[sel[ok]] = False
+            if ok.any():
+                results.append((sel[ok], Uc[: sel.size][ok], Vc[: sel.size][ok]))
+
+    # assemble final buffers at the tight pow2 width
+    w = 8
+    top = int(rank.max()) if nb else 0
+    while w < min(top, rmax):
+        w *= 2
+    w = min(w, rmax) if rmax >= 1 else 1
+    dtype = generator.dtype
+    U = jnp.zeros((nb, bm, w), dtype)
+    V = jnp.zeros((nb, w, bn), dtype)
+    for sel, Uc, Vc in results:
+        cw = min(w, Uc.shape[2])
+        U = U.at[sel, :, :cw].set(Uc[:, :, :cw])
+        V = V.at[sel, :cw, :].set(Vc[:, :cw, :])
+    return U, V, rank, failed
+
+
 def assemble_from_plan(
     plan: BlockTreePlan,
     generator: Generator,
     max_rank: int | None = None,
     reqrank: int = -1,
-    compressor: str = "partial_aca",
+    compressor="partial_aca",
+    recompress: bool = False,
 ) -> HMatrix:
     """Assemble the flat H-matrix from a planned block tree.
 
@@ -111,8 +210,16 @@ def assemble_from_plan(
     with the offset-oriented pivot walk of the reference's default
     sympartialACA, ``sympartialACA.hpp:48-63``: blocks with
     ``t_off < s_off`` are compressed on the transposed block so (i,j)/(j,i)
-    pairs generate transpose-consistent crosses), "full_aca", or "svd"
-    (tree_builder.hpp:384-390 picks the strategy; here it is a parameter)."""
+    pairs generate transpose-consistent crosses), "full_aca", "svd"
+    (tree_builder.hpp:384-390 picks the strategy; here it is a parameter),
+    or any CALLABLE with the ``batched_partial_aca`` signature — the
+    user-pluggable ``VirtualLowRankGenerator`` hook (see
+    :func:`_get_compressor`).
+
+    ``recompress=True`` applies batched SVD recompression to every
+    compressed block right after compression, composing with ANY compressor
+    — the ``RecompressedLowRankGenerator`` decorator
+    (recompressed_low_rank_generator.hpp:19-25)."""
     tt, st = plan.target_tree, plan.source_tree
     perm_t, perm_s = tt.permutation, st.permutation
     t0 = time.perf_counter()
@@ -161,12 +268,13 @@ def assemble_from_plan(
         if swap:
             # transposed walk (sympartialACA orientation): compress Aᵀ, then
             # A = (U_B V_B)ᵀ = V_Bᵀ · U_Bᵀ
-            U_B, V_B, rank, failed = compress(
+            U_B, V_B, rank, failed = _compress_escalating(
+                compress,
                 TransposedGenerator(generator),
                 cols,
                 rows,
-                jnp.asarray(s_szs, jnp.int32),
-                jnp.asarray(t_szs, jnp.int32),
+                s_szs,
+                t_szs,
                 plan.epsilon,
                 rmax,
                 reqrank,
@@ -174,18 +282,28 @@ def assemble_from_plan(
             U = jnp.swapaxes(V_B, 1, 2)
             V = jnp.swapaxes(U_B, 1, 2)
         else:
-            U, V, rank, failed = compress(
+            U, V, rank, failed = _compress_escalating(
+                compress,
                 generator,
                 rows,
                 cols,
-                jnp.asarray(t_szs, jnp.int32),
-                jnp.asarray(s_szs, jnp.int32),
+                t_szs,
+                s_szs,
                 plan.epsilon,
                 rmax,
                 reqrank,
             )
-        rank = np.asarray(rank)
-        failed = np.asarray(failed)
+
+        if recompress:
+            # assembly-time SVD recompression of every successful block —
+            # the RecompressedLowRankGenerator decorator
+            # (recompressed_low_rank_generator.hpp:19-25)
+            from .compressors import batched_recompress
+
+            U, V, nr = batched_recompress(
+                U, V, jnp.asarray(rank, jnp.int32), plan.epsilon
+            )
+            rank = np.where(failed, 0, np.asarray(nr))
 
         # --- successful blocks: re-pack into tight storage buckets ---
         # ACA ran at the pow2 compute shape (few compiled kernels); storage
@@ -311,10 +429,12 @@ class HMatrixBuilder:
         min_source_depth: int = 0,
         max_rank: int | None = None,
         block_tree_consistency: bool = True,
-        compressor: str = "partial_aca",
+        compressor="partial_aca",
+        recompress: bool = False,
         partition_number_for_symmetry: int = -1,
     ):
         self.compressor = compressor
+        self.recompress = recompress
         self.partition_number_for_symmetry = partition_number_for_symmetry
         self.epsilon = epsilon
         self.eta = eta
@@ -354,6 +474,7 @@ class HMatrixBuilder:
             max_rank=self.max_rank,
             reqrank=self.reqrank,
             compressor=self.compressor,
+            recompress=self.recompress,
         )
         h.info["block_tree_walltime"] = plan_time
         return h

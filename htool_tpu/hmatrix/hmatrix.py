@@ -35,6 +35,9 @@ class DenseBucket:
     t_sizes: np.ndarray = None
     s_sizes: np.ndarray = None
     mirror: bool = False  # symmetric mirrored contribution in products
+    # optional tiled-matvec plans (ops/tiled_matvec.py), by output side
+    plan_t: Any = None
+    plan_s: Any = None
 
     @property
     def n_blocks(self) -> int:
@@ -57,6 +60,8 @@ class LowRankBucket:
     s_sizes: np.ndarray = None
     ranks: np.ndarray = None  # true ranks per block (host)
     mirror: bool = False
+    plan_t: Any = None
+    plan_s: Any = None
 
     @property
     def n_blocks(self) -> int:
@@ -73,23 +78,26 @@ class LowRankBucket:
 
 def _flatten_dense(b: DenseBucket):
     # host-side size arrays ride along as leaves (unused inside jitted code)
-    return (b.data, b.t_off, b.s_off, b.t_sizes, b.s_sizes), (b.mirror,)
+    return (b.data, b.t_off, b.s_off, b.t_sizes, b.s_sizes, b.plan_t,
+            b.plan_s), (b.mirror,)
 
 
 def _unflatten_dense(aux, leaves):
-    data, t_off, s_off, t_sizes, s_sizes = leaves
+    data, t_off, s_off, t_sizes, s_sizes, plan_t, plan_s = leaves
     (mirror,) = aux
-    return DenseBucket(data, t_off, s_off, t_sizes, s_sizes, mirror)
+    return DenseBucket(data, t_off, s_off, t_sizes, s_sizes, mirror,
+                       plan_t, plan_s)
 
 
 def _flatten_lr(b: LowRankBucket):
-    return (b.U, b.V, b.t_off, b.s_off, b.t_sizes, b.s_sizes, b.ranks), (b.mirror,)
+    return (b.U, b.V, b.t_off, b.s_off, b.t_sizes, b.s_sizes, b.ranks,
+            b.plan_t, b.plan_s), (b.mirror,)
 
 
 def _unflatten_lr(aux, leaves):
-    U, V, t_off, s_off, t_sizes, s_sizes, ranks = leaves
-    (mirror,) = aux
-    return LowRankBucket(U, V, t_off, s_off, t_sizes, s_sizes, ranks, mirror)
+    U, V, t_off, s_off, t_sizes, s_sizes, ranks, plan_t, plan_s = leaves
+    return LowRankBucket(U, V, t_off, s_off, t_sizes, s_sizes, ranks,
+                         aux[0], plan_t, plan_s)
 
 
 jax.tree_util.register_pytree_node(DenseBucket, _flatten_dense, _unflatten_dense)

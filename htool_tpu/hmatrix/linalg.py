@@ -27,6 +27,11 @@ from ..ops.bucket_matvec import (
     lr_bucket_matvec,
     pallas_matvec_ok,
 )
+from ..ops.tiled_matvec import (
+    build_tile_plan,
+    tiled_bucket_matvec,
+    tiled_matvec_ok,
+)
 from .hmatrix import DenseBucket, HMatrix, LowRankBucket
 
 __all__ = [
@@ -34,10 +39,37 @@ __all__ = [
     "matvec_user",
     "matmat",
     "matmat_user",
+    "prepare_tiled_matvec",
     "to_dense",
     "copy_diagonal",
     "copy_diagonal_user",
 ]
+
+
+def _pad_in_of(h: HMatrix) -> int:
+    widths = [b.block_shape for b in h.dense_buckets] + [
+        b.block_shape for b in h.lr_buckets
+    ]
+    return max(
+        max([w[0] for w in widths], default=1),
+        max([w[1] for w in widths], default=1),
+    )
+
+
+def prepare_tiled_matvec(h: HMatrix, tile_rows: int = 4096) -> HMatrix:
+    """Attach tiled-product plans (:mod:`..ops.tiled_matvec`) to the buckets
+    of a GLOBAL H-matrix, in place.  Products then run the tiled fused
+    kernel at scales where the resident Pallas kernels no longer fit VMEM
+    (n beyond ~12k rows), keeping the fused no-gather/no-scatter hot path up
+    to BASELINE scales.  Call OUTSIDE jit, once, after assembly."""
+    if not isinstance(h.t_root_off, int) or h.t_root_off != 0:
+        raise ValueError("tiled plans require a global (non-restricted) H-matrix")
+    pad_in = _pad_in_of(h)
+    m, n = h.shape
+    for bucket in h.dense_buckets + h.lr_buckets:
+        bucket.plan_t = build_tile_plan(bucket, "t", m + pad_in, tile_rows)
+        bucket.plan_s = build_tile_plan(bucket, "s", n + pad_in, tile_rows)
+    return h
 
 
 def _gather(x_pad, off, width):
@@ -145,8 +177,10 @@ def matvec(h: HMatrix, x, op: str = "N"):
     max_bn = max([w[1] for w in widths], default=1)
     pad_in = max(max_bm, max_bn)
 
+    # +16: the tiled kernel's sublane-aligned Element windows over-read by
+    # up to one sublane tile past a block's input extent
     x_pad = jnp.concatenate(
-        [x.astype(dtype), jnp.zeros((pad_in, x.shape[1]), dtype)], axis=0
+        [x.astype(dtype), jnp.zeros((pad_in + 16, x.shape[1]), dtype)], axis=0
     )
     y_pad = jnp.zeros((out_len + pad_in, x.shape[1]), dtype)
 
@@ -172,8 +206,10 @@ def matvec(h: HMatrix, x, op: str = "N"):
             in_w = bm if in_side == "t" else bn
             out_w = bm if out_side == "t" else bn
 
-            # fused Pallas path (TPU, real dtypes): no gather/scatter HLOs —
-            # the scatter-add dominates the XLA path on TPU
+            # fused Pallas paths (TPU, real dtypes): no gather/scatter HLOs —
+            # the scatter-add dominates the XLA path on TPU.  Small vectors
+            # use the fully VMEM-resident kernels; beyond the VMEM wall the
+            # pre-planned tiled kernel takes over (ops/tiled_matvec.py).
             if not jnp.issubdtype(dtype, jnp.complexfloating):
                 lanes = lambda d: -(-d // 128) * 128
                 item = jnp.dtype(dtype).itemsize
@@ -207,6 +243,14 @@ def matvec(h: HMatrix, x, op: str = "N"):
                             y_pad.shape[0],
                         )
                     y_pad = y_pad + yb
+                    continue
+                plan = bucket.plan_t if out_side == "t" else bucket.plan_s
+                if (
+                    plan is not None
+                    and plan.out_len == y_pad.shape[0]
+                    and tiled_matvec_ok(dtype, x_pad.shape[1], plan)
+                ):
+                    y_pad = y_pad + tiled_bucket_matvec(plan, x_pad, dtype)
                     continue
 
             xg = _gather(x_pad, in_off, in_w)

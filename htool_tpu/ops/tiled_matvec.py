@@ -1,0 +1,334 @@
+"""Tiled fused Pallas matvec for BASELINE-scale vectors (n = 100k-1M).
+
+The resident kernels in :mod:`.bucket_matvec` keep both full vectors in
+VMEM and die past ~12k rows.  Here the output vector is TILED: blocks are
+sorted by output offset (host plan), packed into output tiles of T rows,
+and the kernel's grid walks the blocks tile by tile — the output tile stays
+VMEM-resident across its steps while the input slices are streamed from
+HBM through ``pl.Element``-indexed pipelined windows (one per group lane).
+Each tile's buffer carries an extension zone of E rows so blocks straddling
+the tile boundary accumulate locally; a cheap XLA fold
+(``y[t·T : t·T+T+E] += tile_t``) produces the final vector.
+
+This is the hot-path role of the reference's OpenMP leaf-loop product
+(``hmatrix/linalg/add_hmatrix_vector_product.hpp:106-170``) at the scales
+BASELINE.md targets (100k one-level DDM, 1M GenEO), where the XLA
+gather/scatter path pays ~3x HBM traffic and serialized scatter-adds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bucket_matvec import _GROUP_TARGET_BYTES, _VMEM_BUDGET, _interpret, _lanes
+
+__all__ = ["TilePlan", "build_tile_plan", "tiled_bucket_matvec", "tiled_matvec_ok"]
+
+_TILE_ROWS = 4096  # output tile height (rows); VMEM cost 2*(T+E)*lanes(k)*item
+_GROUP_MAX = 8  # Element-indexed x windows per step (one BlockSpec each)
+
+
+@dataclass
+class TilePlan:
+    """Host-planned, device-resident schedule for one bucket orientation.
+
+    ``data``/``U``/``V`` are the bucket blocks re-sorted by output offset and
+    padded per tile to whole groups with one appended zero block.  All
+    leaves are plain arrays so the plan rides through jit as a pytree.
+    """
+
+    # aux (static)
+    kind: str  # "dense" | "lr"
+    T: int  # tile rows
+    E: int  # extension rows (= out_w)
+    G: int  # blocks per grid step
+    n_steps: int
+    n_tiles: int
+    out_len: int
+    in_w: int
+    out_w: int
+    trans: bool  # apply blocks transposed
+    # leaves
+    data: Any = None  # [n_steps*G, bm, bn] sorted+padded (dense)
+    U: Any = None  # [n_steps*G, bm, r] (lr)
+    V: Any = None  # [n_steps*G, r, bn]
+    in_off: Any = None  # [n_steps*G] int32
+    out_rel: Any = None  # [n_steps*G] int32 (tile-relative output offsets)
+    tile_of: Any = None  # [n_steps] int32
+    first_of: Any = None  # [n_steps] int32 (1 = first step of its tile)
+
+
+def _flatten_plan(p: TilePlan):
+    leaves = (p.data, p.U, p.V, p.in_off, p.out_rel, p.tile_of, p.first_of)
+    aux = (p.kind, p.T, p.E, p.G, p.n_steps, p.n_tiles, p.out_len, p.in_w,
+           p.out_w, p.trans)
+    return leaves, aux
+
+
+def _unflatten_plan(aux, leaves):
+    data, U, V, in_off, out_rel, tile_of, first_of = leaves
+    kind, T, E, G, n_steps, n_tiles, out_len, in_w, out_w, trans = aux
+    return TilePlan(kind, T, E, G, n_steps, n_tiles, out_len, in_w, out_w,
+                    trans, data, U, V, in_off, out_rel, tile_of, first_of)
+
+
+jax.tree_util.register_pytree_node(TilePlan, _flatten_plan, _unflatten_plan)
+
+
+def build_tile_plan(bucket, out_side: str, out_len: int,
+                    tile_rows: int = _TILE_ROWS) -> TilePlan:
+    """Sort the bucket's blocks by their ``out_side`` offsets, pack them into
+    output tiles of ``tile_rows`` rows (each padded to whole groups with the
+    zero block), and materialize the re-sorted block arrays.
+
+    Must run OUTSIDE jit (host planning over concrete offsets)."""
+    from ..hmatrix.hmatrix import DenseBucket
+
+    is_dense = isinstance(bucket, DenseBucket)
+    bm, bn = bucket.block_shape
+    out_w = bm if out_side == "t" else bn
+    in_w = bn if out_side == "t" else bm
+    trans = out_side == "s"
+    t_off = np.asarray(bucket.t_off, np.int64)
+    s_off = np.asarray(bucket.s_off, np.int64)
+    out_off = t_off if out_side == "t" else s_off
+    in_off = s_off if out_side == "t" else t_off
+    nb = out_off.shape[0]
+
+    T = int(tile_rows)
+    n_tiles = max(1, -(-out_len // T))
+    item = jnp.dtype(bucket.data.dtype if is_dense else bucket.U.dtype).itemsize
+    if is_dense:
+        blk_bytes = bm * _lanes(bn) * item
+    else:
+        r = bucket.rank_padded
+        blk_bytes = (bm * _lanes(r) + r * _lanes(bn)) * item
+    per = blk_bytes + (in_w + out_w) * 128 * item
+    G = 1
+    while G < _GROUP_MAX and G * 2 * 2 * per <= 2 * _GROUP_TARGET_BYTES:
+        G *= 2
+
+    order = np.argsort(out_off, kind="stable")
+    tile_id = np.minimum(out_off[order] // T, n_tiles - 1)
+
+    # pack per tile: indices into the sorted order, padded to whole groups
+    # with the zero block (index nb); every tile gets >= 1 group so its
+    # output buffer is always zero-initialized
+    slots: list[int] = []
+    tiles: list[int] = []
+    firsts: list[int] = []
+    for t in range(n_tiles):
+        sel = order[tile_id == t]
+        cnt = max(1, len(sel))
+        n_grp = -(-cnt // G)
+        padded = np.full(n_grp * G, nb, np.int64)
+        padded[: len(sel)] = sel
+        slots.extend(padded.tolist())
+        tiles.extend([t] * n_grp)
+        firsts.extend([1] + [0] * (n_grp - 1))
+    slots = np.asarray(slots, np.int64)
+    n_steps = len(tiles)
+
+    in_off_p = np.concatenate([in_off, [0]])[slots].astype(np.int32)
+    out_rel_full = np.concatenate([out_off, [0]])[slots].astype(np.int64)
+    tile_of_blk = np.repeat(np.asarray(tiles, np.int64), G)
+    out_rel = (out_rel_full - tile_of_blk * T).astype(np.int32)
+    out_rel[slots == nb] = 0  # zero blocks write zeros at the tile start
+
+    gather = jnp.asarray(np.minimum(slots, nb - 1) if nb else slots, jnp.int32)
+    zero_mask = jnp.asarray((slots == nb)[:, None, None])
+    kw = dict(
+        T=T, E=out_w, G=G, n_steps=n_steps, n_tiles=n_tiles, out_len=out_len,
+        in_w=in_w, out_w=out_w, trans=trans,
+        in_off=jnp.asarray(in_off_p),
+        out_rel=jnp.asarray(out_rel),
+        tile_of=jnp.asarray(np.asarray(tiles, np.int32)),
+        first_of=jnp.asarray(np.asarray(firsts, np.int32)),
+    )
+    if is_dense:
+        data = jnp.where(zero_mask, 0, bucket.data[gather])
+        return TilePlan(kind="dense", data=data, **kw)
+    U = jnp.where(zero_mask, 0, bucket.U[gather])
+    V = jnp.where(zero_mask, 0, bucket.V[gather])
+    return TilePlan(kind="lr", U=U, V=V, **kw)
+
+
+def tiled_matvec_ok(dtype, k: int, plan: TilePlan) -> bool:
+    """Gate: Mosaic dtype + the tile buffer and step payload fit VMEM."""
+    import os
+
+    mode = os.environ.get("HTOOL_TPU_PALLAS", "auto")
+    if mode == "0":
+        return False
+    if not (mode == "interpret" or jax.default_backend() == "tpu"):
+        return False
+    if dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
+        return False
+    item = jnp.dtype(dtype).itemsize
+    lanes_k = _lanes(k)
+    tile_bytes = (plan.T + plan.E) * lanes_k * item
+    if plan.kind == "dense":
+        blk = plan.data.shape[1] * _lanes(plan.data.shape[2]) * item
+    else:
+        r = plan.U.shape[2]
+        blk = (plan.U.shape[1] * _lanes(r) + r * _lanes(plan.V.shape[2])) * item
+    step = plan.G * (blk + (plan.in_w + plan.out_w) * lanes_k * item)
+    return 2 * tile_bytes + 2 * step <= _VMEM_BUDGET
+
+
+def _tiled_kernel(kind: str, trans: bool, G: int, out_w: int, in_w: int,
+                  n_pre: int, *refs):
+    """refs = (prefetch scalars..., block arrays..., x windows x G, out).
+
+    The x windows are sublane-ALIGNED Element windows of in_w + ALIGN rows;
+    each block's true slice starts at the prefetched remainder offset."""
+    pl, _ = _pl_mods()
+    scalars = refs[:n_pre]
+    tile_ref, first_ref, out_rel_ref, rem_ref = (
+        scalars[0], scalars[1], scalars[2], scalars[3],
+    )
+    rest = refs[n_pre:]
+    if kind == "dense":
+        d_ref = rest[0]
+        x_refs = rest[1 : 1 + G]
+    else:
+        u_ref, v_ref = rest[0], rest[1]
+        x_refs = rest[2 : 2 + G]
+    out_ref = rest[-1]
+    i = pl.program_id(0)
+
+    @pl.when(first_ref[i] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    base_i = i * G
+    xg = jnp.stack(
+        [x_refs[g][pl.ds(rem_ref[base_i + g], in_w), :] for g in range(G)]
+    )  # [G, in_w, k]
+    hi = jax.lax.Precision.HIGHEST
+    if kind == "dense":
+        blk = d_ref[:]  # [G, bm, bn]
+        cdim = 1 if trans else 2
+        contrib = jax.lax.dot_general(
+            blk, xg, dimension_numbers=(((cdim,), (1,)), ((0,), (0,))),
+            preferred_element_type=out_ref.dtype, precision=hi,
+        )
+    else:
+        U = u_ref[:]
+        V = v_ref[:]
+        if trans:
+            t = jax.lax.dot_general(
+                U, xg, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=out_ref.dtype, precision=hi)
+            contrib = jax.lax.dot_general(
+                V, t, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=out_ref.dtype, precision=hi)
+        else:
+            t = jax.lax.dot_general(
+                V, xg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=out_ref.dtype, precision=hi)
+            contrib = jax.lax.dot_general(
+                U, t, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=out_ref.dtype, precision=hi)
+
+    base = i * G
+    for g in range(G):
+        off = out_rel_ref[base + g]
+        out_ref[0, pl.ds(off, out_w), :] = (
+            out_ref[0, pl.ds(off, out_w), :] + contrib[g]
+        )
+
+
+_pl_cache = None
+
+
+def _pl_mods():
+    global _pl_cache
+    if _pl_cache is None:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        _pl_cache = (pl, pltpu)
+    return _pl_cache
+
+
+def tiled_bucket_matvec(plan: TilePlan, x_pad, dtype):
+    """Run the tiled kernel for one bucket term: returns y [out_len, k].
+
+    ``x_pad`` must have at least ALIGN extra padding rows beyond any block's
+    input extent (the aligned Element windows over-read by up to ALIGN)."""
+    pl, pltpu = _pl_mods()
+    k = x_pad.shape[1]
+    T, E, G = plan.T, plan.E, plan.G
+    # sublane tile of the dtype: Element window starts must be provably
+    # aligned to it, so windows are aligned down and shifted in-kernel
+    ALIGN = 8 if jnp.dtype(dtype).itemsize == 4 else 16
+    in_al = (plan.in_off // ALIGN) * ALIGN
+    rem = plan.in_off - in_al
+
+    n_pre = 5  # tile_of, first_of, out_rel, rem, in_al (index maps)
+    grid = (plan.n_steps,)
+
+    if plan.kind == "dense":
+        bm, bn = plan.data.shape[1], plan.data.shape[2]
+        block_arrays = [plan.data.astype(dtype)]
+        block_specs = [
+            pl.BlockSpec((G, bm, bn), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ]
+    else:
+        bm, r = plan.U.shape[1], plan.U.shape[2]
+        bn = plan.V.shape[2]
+        block_arrays = [plan.U.astype(dtype), plan.V.astype(dtype)]
+        block_specs = [
+            pl.BlockSpec((G, bm, r), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, r, bn), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    in_w = plan.in_w
+
+    def x_spec(g):
+        def idx(i, tf, ff, orr, rm, ia):
+            return (pl.multiple_of(ia[i * G + g], ALIGN), 0)
+
+        # Mosaic requires all-or-none Element dims in a spec
+        return pl.BlockSpec((pl.Element(in_w + ALIGN), pl.Element(k)), idx,
+                            memory_space=pltpu.VMEM)
+
+    x_specs = [x_spec(g) for g in range(G)]
+
+    def out_idx(i, tf, ff, orr, rm, ia):
+        return (tf[i], 0, 0)
+
+    out_spec = pl.BlockSpec((1, T + E, k), out_idx, memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_pre,
+        grid=grid,
+        in_specs=block_specs + x_specs,
+        out_specs=out_spec,
+    )
+    tiles = pl.pallas_call(
+        partial(_tiled_kernel, plan.kind, plan.trans, G, plan.out_w, in_w,
+                n_pre),
+        out_shape=jax.ShapeDtypeStruct((plan.n_tiles, T + E, k), dtype),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(plan.tile_of, plan.first_of, plan.out_rel, rem, in_al,
+      *block_arrays, *([x_pad.astype(dtype)] * G))
+
+    # fold: y[t*T : t*T + T + E] += tiles[t]
+    body = tiles[:, :T, :].reshape(plan.n_tiles * T, k)
+    y = jnp.concatenate([body, jnp.zeros((E, k), dtype)], axis=0)
+    ext = tiles[:, T:, :]  # [n_tiles, E, k]
+    rows = (jnp.arange(plan.n_tiles) * T + T)[:, None] + jnp.arange(E)[None, :]
+    y = y.at[rows.reshape(-1)].add(ext.reshape(-1, k))
+    return y[: plan.out_len]

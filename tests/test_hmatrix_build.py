@@ -110,3 +110,42 @@ def test_copy_diagonal():
     assert np.allclose(d_cluster, np.diag(A)[Pm])
     d_user = np.asarray(copy_diagonal_user(H))
     assert np.allclose(d_user, np.diag(A))
+
+
+def test_custom_compressor_hook():
+    """User-pluggable compressor callable (the VirtualLowRankGenerator
+    surface, virtual_lrmat_generator.hpp:11-56)."""
+    from htool_tpu.hmatrix.aca import batched_partial_aca
+    from htool_tpu.testing import create_sphere, laplace_kernel_symmetric
+
+    pts = create_sphere(800)
+    gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=40)
+    A = np.asarray(gen.to_dense())
+    calls = []
+
+    def my_comp(g, rows, cols, ts, ss, eps, rmax, reqrank):
+        calls.append(int(rows.shape[0]))
+        return batched_partial_aca(g, rows, cols, ts, ss, eps, rmax, reqrank)
+
+    H = ht.build_hmatrix(gen, tree, epsilon=1e-6, eta=10.0, compressor=my_comp)
+    assert calls, "custom compressor was never invoked"
+    err = np.linalg.norm(H.to_dense() - A) / np.linalg.norm(A)
+    assert err < 1e-6
+
+
+def test_recompressed_assembly_lowers_rank():
+    """recompress=True (the RecompressedLowRankGenerator decorator,
+    recompressed_low_rank_generator.hpp:19-25) must lower the mean rank at
+    equal accuracy."""
+    from htool_tpu.testing import create_sphere, laplace_kernel_symmetric
+
+    pts = create_sphere(1500)
+    gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=64)
+    A = np.asarray(gen.to_dense())
+    H = ht.build_hmatrix(gen, tree, epsilon=1e-6, eta=10.0)
+    Hr = ht.build_hmatrix(gen, tree, epsilon=1e-6, eta=10.0, recompress=True)
+    err = np.linalg.norm(Hr.to_dense() - A) / np.linalg.norm(A)
+    assert err < 5e-6
+    assert ht.hmatrix_info(Hr)["rank_mean"] <= ht.hmatrix_info(H)["rank_mean"]

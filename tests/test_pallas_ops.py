@@ -77,3 +77,66 @@ def test_pallas_and_xla_paths_agree(monkeypatch):
     jax.clear_caches()
 
     np.testing.assert_allclose(y_pl, y_xla, rtol=2e-5, atol=1e-6)
+
+
+# ======================================================================
+# tiled kernels (ops/tiled_matvec.py) — the beyond-VMEM-wall path
+# ======================================================================
+
+
+def _force_tiled(monkeypatch):
+    """Disable the resident kernels so products exercise the tiled path."""
+    import htool_tpu.hmatrix.linalg as L
+
+    monkeypatch.setattr(L, "pallas_matvec_ok", lambda *a, **k: False)
+
+
+def test_tiled_matvec_matches_dense(pallas_interpret, monkeypatch):
+    from htool_tpu.hmatrix.linalg import prepare_tiled_matvec
+
+    _force_tiled(monkeypatch)
+    n = 700
+    pts = create_sphere(n).astype(np.float32)
+    gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=32)
+    H = ht.build_hmatrix(gen, tree, epsilon=1e-5, eta=10.0)
+    # small tiles so blocks straddle tile boundaries (extension-zone path)
+    prepare_tiled_matvec(H, tile_rows=128)
+    assert all(b.plan_t is not None for b in H.dense_buckets + H.lr_buckets)
+    _check(H, n)
+
+
+def test_tiled_matvec_symmetric_mirror(pallas_interpret, monkeypatch):
+    from htool_tpu.hmatrix.linalg import prepare_tiled_matvec
+
+    _force_tiled(monkeypatch)
+    n = 700
+    pts = create_sphere(n).astype(np.float32)
+    gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=32)
+    H = ht.build_hmatrix(gen, tree, epsilon=1e-5, eta=10.0, symmetry="S", UPLO="L")
+    prepare_tiled_matvec(H, tile_rows=128)
+    _check(H, n)
+
+
+def test_tiled_matvec_multi_rhs_and_single(pallas_interpret, monkeypatch):
+    from htool_tpu.hmatrix.linalg import matvec_user, prepare_tiled_matvec
+
+    _force_tiled(monkeypatch)
+    n = 500
+    pts = create_sphere(n).astype(np.float32)
+    gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=32)
+    H = ht.build_hmatrix(gen, tree, epsilon=1e-5, eta=10.0)
+    prepare_tiled_matvec(H, tile_rows=256)
+    A = H.to_dense()
+    rng = np.random.RandomState(3)
+    for k in (1, 5):
+        x = rng.randn(n, k).astype(np.float32)
+        got = np.asarray(matvec_user(H, x))
+        err = np.linalg.norm(got - A @ x) / np.linalg.norm(A @ x)
+        assert err < 1e-5, (k, err)
+    # 1-D input round-trips
+    x1 = rng.randn(n).astype(np.float32)
+    got1 = np.asarray(H @ x1)
+    assert np.linalg.norm(got1 - A @ x1) / np.linalg.norm(A @ x1) < 1e-5
