@@ -133,3 +133,40 @@ def test_krylov_standalone():
     r2 = gmres(lambda x: jnp.asarray(C) @ x, b, tol=1e-10, maxiter=300, restart=40)
     assert bool(r2.converged)
     assert np.linalg.norm(C @ np.asarray(r2.x) - b) / np.linalg.norm(b) < 1e-9
+
+
+def test_geneo_batched_matches_scipy():
+    """The batched device EVP path (Cholesky transform + batched eigh,
+    coarse_space_builder.hpp:89-92 reduction) must produce the same
+    per-subdomain eigenspaces as host scipy eigh."""
+    import scipy.linalg as sla
+
+    pts, tree, gen, A = build_grid_problem(shape=(10, 10, 8), P=8)
+    H = ht.build_hmatrix(gen, tree, epsilon=1e-10, eta=10.0)
+    from htool_tpu.hmatrix.linalg import matvec as h_matvec
+
+    overlap = build_geometric_overlap(tree, 1.5)
+    infos = {}
+    cs = build_geneo_coarse_space(
+        gen, tree, overlap, lambda x: h_matvec(H, x, op="N"), nu=4,
+        symmetry="S", infos=infos,
+    )
+    assert "GenEO_geev_walltime" in infos
+    offs, sizes = tree.partition_offsets_sizes()
+    perm = tree.permutation
+    Z = np.asarray(cs.Z)
+    col = 0
+    for p in range(tree.n_partitions):
+        off, sz = int(offs[p]), int(sizes[p])
+        idx = np.concatenate([np.arange(off, off + sz), overlap[p]])
+        rows_user = perm[idx]
+        Ai = A[np.ix_(rows_user, rows_user)]
+        DAiD = np.zeros_like(Ai)
+        DAiD[:sz, :sz] = Ai[:sz, :sz]
+        w, v = sla.eigh(DAiD, Ai)
+        order = np.argsort(-np.abs(w))[:4]
+        q1, _ = np.linalg.qr(v[:sz, order])
+        q2, _ = np.linalg.qr(Z[off : off + sz, col : col + 4])
+        s = np.linalg.svd(q1.T @ q2, compute_uv=False)
+        assert 1 - s.min() < 1e-8, (p, s)
+        col += 4
