@@ -452,6 +452,7 @@ class HMatrixBuilder:
         target_tree: ClusterTree,
         source_tree: ClusterTree | None = None,
         target_partition: int = -1,
+        source_partition: int = -1,
     ) -> HMatrix:
         t0 = time.perf_counter()
         plan = plan_block_tree(
@@ -466,6 +467,7 @@ class HMatrixBuilder:
             min_source_depth=self.min_source_depth,
             block_tree_consistency=self.block_tree_consistency,
             partition_number_for_symmetry=self.partition_number_for_symmetry,
+            source_partition=source_partition,
         )
         plan_time = time.perf_counter() - t0
         h = assemble_from_plan(

@@ -91,12 +91,19 @@ def plan_block_tree(
     leaf_level: int | None = None,
     backend: str = "auto",
     partition_number_for_symmetry: int = -1,
+    source_partition: int = -1,
 ) -> BlockTreePlan:
     """Plan the admissibility-pruned block tree (tree_builder.hpp:417-531).
 
     ``leaf_level``: treat cluster nodes at this depth as leaves, producing a
     uniform-grid (BLR-style) plan where every leaf is a depth-``leaf_level``
-    cell pair; implies min depths >= leaf_level."""
+    cell pair; implies min depths >= leaf_level.
+
+    ``source_partition`` (with ``target_partition``) restricts the plan to
+    the (target, source) partition block — the recursion starts at the two
+    partition roots, yielding the diagonal-pair H-matrix of the reference's
+    ``DefaultLocalApproximationBuilder`` (distributed_operator/utility.hpp:
+    63-88) when both equal the device's partition."""
     if source_tree is None:
         source_tree = target_tree
     if leaf_level is not None:
@@ -187,6 +194,11 @@ def plan_block_tree(
             ),
         )
 
+    if source_partition >= 0:
+        # partition-pair restriction runs the (host) python recursion from
+        # the partition roots; these plans are small by construction
+        backend = "python"
+
     if backend in ("auto", "native"):
         from ..native import bt_plan_native
 
@@ -223,7 +235,12 @@ def plan_block_tree(
     def s_is_leaf(s):
         return st.is_leaf(s) or (leaf_level is not None and st.depths[s] >= leaf_level)
 
-    stack: list[tuple[int, int]] = [(0, 0)]
+    if source_partition >= 0:
+        t0_node = int(tt.partition_roots[target_partition]) if target_partition >= 0 else 0
+        s0_node = int(st.partition_roots[source_partition])
+        stack: list[tuple[int, int]] = [(t0_node, s0_node)]
+    else:
+        stack = [(0, 0)]
     while stack:
         t, s = stack.pop()
         t_leaf = t_is_leaf(t)

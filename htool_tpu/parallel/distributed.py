@@ -40,7 +40,12 @@ from ..hmatrix.assembly import HMatrixBuilder
 from ..hmatrix.hmatrix import DenseBucket, HMatrix, LowRankBucket
 from ..hmatrix.linalg import matvec as _local_matvec
 
-__all__ = ["DistributedHMatrix", "build_distributed_hmatrix", "default_mesh"]
+__all__ = [
+    "DistributedHMatrix",
+    "build_distributed_hmatrix",
+    "build_distributed_from_local_hmatrices",
+    "default_mesh",
+]
 
 
 def default_mesh(n_devices: int | None = None, axis_name: str = "p") -> Mesh:
@@ -372,12 +377,18 @@ def build_distributed_hmatrix(
     symmetry: str = "N",
     UPLO: str = "N",
     source_tree: ClusterTree | None = None,
+    mode: str = "full",
     **kwargs,
 ) -> DistributedHMatrix:
     """Build the row-partitioned operator: one partition-restricted H-matrix
-    per mesh device (``DefaultApproximationBuilder``,
-    ``distributed_operator/utility.hpp:37-61``), stacked into device-axis
-    bucket arrays and placed with a NamedSharding over the mesh.
+    per mesh device, stacked into device-axis bucket arrays and placed with
+    a NamedSharding over the mesh.
+
+    ``mode="full"``: each device owns its full block-row
+    (``DefaultApproximationBuilder``, distributed_operator/utility.hpp:
+    37-61).  ``mode="local"``: each device owns only its DIAGONAL partition
+    block (``DefaultLocalApproximationBuilder``, utility.hpp:63-88) — the
+    block-Jacobi operator approximation.
 
     With ``symmetry`` in {'S','H'}, each device prunes the upper/lower
     triangle of ITS diagonal partition block only
@@ -387,12 +398,13 @@ def build_distributed_hmatrix(
     """
     if mesh is None:
         mesh = default_mesh()
-    ax = mesh.axis_names[0]
     Pn = mesh.devices.size
     if tree.n_partitions != Pn:
         raise ValueError(
             f"cluster tree has {tree.n_partitions} partitions but mesh has {Pn} devices"
         )
+    if mode not in ("full", "local"):
+        raise ValueError(f"unknown mode {mode!r}; use 'full' or 'local'")
     st = source_tree if source_tree is not None else tree
 
     builder = HMatrixBuilder(
@@ -401,7 +413,47 @@ def build_distributed_hmatrix(
     locals_: list[HMatrix] = []
     for p in range(Pn):
         builder.partition_number_for_symmetry = p if symmetry != "N" else -1
-        locals_.append(builder.build(generator, tree, st, target_partition=p))
+        locals_.append(
+            builder.build(
+                generator,
+                tree,
+                st,
+                target_partition=p,
+                source_partition=p if mode == "local" else -1,
+            )
+        )
+    return build_distributed_from_local_hmatrices(
+        locals_, tree, mesh, source_tree=st, symmetry=symmetry, UPLO=UPLO,
+        dtype=generator.dtype,
+    )
+
+
+def build_distributed_from_local_hmatrices(
+    locals_: list,
+    tree: ClusterTree,
+    mesh: Mesh | None = None,
+    source_tree: ClusterTree | None = None,
+    symmetry: str = "N",
+    UPLO: str = "N",
+    dtype=None,
+) -> DistributedHMatrix:
+    """Wire USER-BUILT per-partition local operators into a distributed
+    operator — the ``CustomApproximationBuilder`` surface
+    (``distributed_operator/utility.hpp:21-35``).
+
+    ``locals_[p]`` must be an :class:`HMatrix` whose target root is
+    partition ``p`` of ``tree`` (bucket offsets in GLOBAL cluster
+    numbering), e.g. from ``HMatrixBuilder.build(..., target_partition=p)``
+    or any custom assembly with the same layout."""
+    if mesh is None:
+        mesh = default_mesh()
+    ax = mesh.axis_names[0]
+    Pn = mesh.devices.size
+    st = source_tree if source_tree is not None else tree
+    if len(locals_) != Pn:
+        raise ValueError(f"{len(locals_)} local operators for {Pn} devices")
+    if dtype is None:
+        dtype = locals_[0].dtype
 
     part_offsets, part_sizes = tree.partition_offsets_sizes()
     m_loc_max = int(part_sizes.max())
@@ -436,7 +488,7 @@ def build_distributed_hmatrix(
             def pad_dense(b, p):
                 if b is None:
                     nb = 0
-                    data = jnp.zeros((0, bm, bn), generator.dtype)
+                    data = jnp.zeros((0, bm, bn), dtype)
                     t_off = jnp.zeros((0,), jnp.int32)
                     s_off = jnp.zeros((0,), jnp.int32)
                     t_sz = np.zeros((0,), np.int64)
@@ -447,7 +499,7 @@ def build_distributed_hmatrix(
                     t_sz, s_sz = b.t_sizes, b.s_sizes
                 padn = nb_max - nb
                 data = jnp.concatenate(
-                    [data, jnp.zeros((padn, bm, bn), data.dtype if nb else generator.dtype)], axis=0
+                    [data, jnp.zeros((padn, bm, bn), data.dtype if nb else dtype)], axis=0
                 )
                 # offsets stay GLOBAL; padded blocks point at the partition
                 # start (zero data -> zero contribution)
@@ -476,8 +528,8 @@ def build_distributed_hmatrix(
             def pad_lr(b, p):
                 if b is None:
                     nb = 0
-                    U = jnp.zeros((0, bm, rp), generator.dtype)
-                    V = jnp.zeros((0, rp, bn), generator.dtype)
+                    U = jnp.zeros((0, bm, rp), dtype)
+                    V = jnp.zeros((0, rp, bn), dtype)
                     t_off = jnp.zeros((0,), jnp.int32)
                     s_off = jnp.zeros((0,), jnp.int32)
                     t_sz = np.zeros((0,), np.int64)
@@ -488,8 +540,8 @@ def build_distributed_hmatrix(
                     U, V, t_off, s_off = b.U, b.V, b.t_off, b.s_off
                     t_sz, s_sz, rk = b.t_sizes, b.s_sizes, np.asarray(b.ranks, np.int64)
                 padn = nb_max - nb
-                U = jnp.concatenate([U, jnp.zeros((padn, bm, rp), U.dtype if nb else generator.dtype)])
-                V = jnp.concatenate([V, jnp.zeros((padn, rp, bn), V.dtype if nb else generator.dtype)])
+                U = jnp.concatenate([U, jnp.zeros((padn, bm, rp), U.dtype if nb else dtype)])
+                V = jnp.concatenate([V, jnp.zeros((padn, rp, bn), V.dtype if nb else dtype)])
                 t_loc = jnp.concatenate(
                     [t_off, jnp.full((padn,), int(part_offsets[p]), jnp.int32)]
                 )
