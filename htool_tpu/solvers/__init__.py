@@ -1,7 +1,7 @@
 from .ddm import DDMSolver, SchwarzPreconditioner, build_geometric_overlap
 from .dist_ddm import DistributedDDMSolver, HaloExchange, build_halo_exchange
 from .geneo import GeneoCoarseSpace, build_geneo_coarse_space
-from .krylov import KrylovResult, cg, gmres
+from .krylov import KrylovResult, block_gmres, cg, gmres
 
 __all__ = [
     "DDMSolver",
@@ -15,4 +15,5 @@ __all__ = [
     "KrylovResult",
     "cg",
     "gmres",
+    "block_gmres",
 ]

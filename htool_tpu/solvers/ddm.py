@@ -373,6 +373,12 @@ class DDMSolver:
             result = gmres(
                 self._apply, bc, M=M, tol=tol, maxiter=maxiter, restart=restart, x0=x0
             )
+        elif krylov == "block_gmres":
+            from .krylov import block_gmres
+
+            result = block_gmres(
+                self._apply, bc, M=M, tol=tol, maxiter=maxiter, restart=restart, x0=x0
+            )
         else:
             raise ValueError(f"unknown krylov method {krylov!r}")
         xc = result.x

@@ -641,6 +641,12 @@ class DistributedDDMSolver:
             elif krylov == "gmres":
                 res = gmres(A_apply, b_sl, M=M, tol=tol, maxiter=maxiter,
                             restart=restart, axis_name=ax)
+            elif krylov == "block_gmres":
+                from .krylov import block_gmres
+
+                res = block_gmres(A_apply, b_sl, M=M, tol=tol,
+                                  maxiter=maxiter, restart=restart,
+                                  axis_name=ax)
             else:
                 raise ValueError(f"unknown krylov method {krylov!r}")
             return res.x, res.iterations, res.residual, res.converged

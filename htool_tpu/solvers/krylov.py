@@ -20,7 +20,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cg", "gmres", "KrylovResult"]
+__all__ = ["cg", "gmres", "block_gmres", "KrylovResult"]
 
 
 class KrylovResult(NamedTuple):
@@ -261,3 +261,136 @@ def gmres(
     true_res = jnp.max(_norm_cols(b - A(x)) / tnorm)
     out = x[:, 0] if squeeze else x
     return KrylovResult(out, it, true_res, res <= tol)
+
+
+def block_gmres(
+    A: Callable,
+    b,
+    M: Optional[Callable] = None,
+    x0=None,
+    tol: float = 1e-6,
+    maxiter: int = 200,
+    restart: int = 20,
+    axis_name: Optional[str] = None,
+) -> KrylovResult:
+    """TRUE block GMRES(m): all right-hand-side columns share ONE Krylov
+    subspace (block Arnoldi with blocked modified Gram-Schmidt + QR), so one
+    operator application advances every column — HPDDM's block methods
+    behind ``ddm.hpp:193``, vs :func:`gmres` which iterates columns jointly
+    but with independent subspaces.
+
+    ``maxiter`` counts BLOCK iterations (operator applications on the block).
+    The small least-squares problem min‖H̄ Y − E₁S‖_F is re-solved per step
+    for the convergence test (it is (m+1)·mu × m·mu — host-scale).
+    """
+    b = jnp.asarray(b)
+    if b.ndim == 1:
+        raise ValueError("block_gmres needs a 2-D [n, mu] right-hand side")
+    _vdot = _make_vdot(axis_name)
+
+    def _bdot(Ab, Bb):
+        """Block inner product Aᴴ·B [p, q] with optional psum."""
+        d = jnp.einsum("np,nq->pq", jnp.conj(Ab), Bb)
+        if axis_name is not None:
+            d = jax.lax.psum(d, axis_name)
+        return d
+
+    def _norm_cols_loc(a):
+        return jnp.sqrt(jnp.abs(_vdot(a, a)).real)
+
+    n, mu = b.shape
+    if M is None:
+        M = lambda v: v
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0).reshape(n, mu)
+    dtype = jnp.result_type(b.dtype, A(b).dtype)
+    b = b.astype(dtype)
+    x = x.astype(dtype)
+    m = int(min(restart, maxiter))
+
+    Mb = M(b)
+    bnorm = _norm_cols_loc(Mb)
+    bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+
+    def _block_qr(W):
+        """Gram-based QR of the tall block W [n, mu] (mesh-aware): W = Q R
+        with R from the Cholesky of the psum'd Gram matrix (shifted for
+        rank deficiency)."""
+        Gm = _bdot(W, W)
+        # tiny shift keeps the factor invertible when columns have converged
+        eps_sh = jnp.asarray(1e-30, Gm.real.dtype)
+        Rf = jnp.linalg.cholesky(
+            Gm + eps_sh * jnp.eye(mu, dtype=Gm.dtype)
+        )  # lower L with W^H W = L L^H
+        R = jnp.conj(Rf).T
+        Q = jnp.conj(
+            jax.scipy.linalg.solve_triangular(Rf, jnp.conj(W).T, lower=True)
+        ).T
+        return Q, R
+
+    def cycle(carry):
+        x, it, _ = carry
+        R0 = M(b - A(x)).astype(dtype)
+        V0, S = _block_qr(R0)
+        V = jnp.zeros((m + 1, n, mu), dtype).at[0].set(V0)
+        # block Hessenberg: H [(m+1), m, mu, mu]
+        H = jnp.zeros((m + 1, m, mu, mu), dtype)
+        g = jnp.zeros(((m + 1) * mu, mu), dtype)
+        g = g.at[:mu, :].set(S.astype(dtype))
+
+        def ls_residual(H, j):
+            """Columnwise residual of min ||Hbar Y - g|| over j block cols."""
+            Hf = H.transpose(0, 2, 1, 3).reshape((m + 1) * mu, m * mu)
+            colmask = (jnp.arange(m * mu) < (j * mu))[None, :]
+            rowmask = (jnp.arange((m + 1) * mu) < ((j + 1) * mu))[:, None]
+            Hm = jnp.where(colmask & rowmask, Hf, 0)
+            gm = jnp.where(rowmask, g, 0)
+            Y = jnp.linalg.lstsq(Hm, gm)[0]
+            r = gm - Hm @ Y
+            return Y, jnp.sqrt(jnp.sum(jnp.abs(r) ** 2, axis=0))
+
+        def step_cond(st):
+            V, H, it, j, res = st
+            return (j < m) & jnp.any(res > tol) & (it < maxiter)
+
+        def step(st):
+            V, H, it, j, _ = st
+            W = M(A(V[j])).astype(dtype)
+
+            def mgs(i, acc):
+                W, H = acc
+                coef = jnp.where(i <= j, 1.0, 0.0).astype(dtype)
+                Hij = _bdot(V[i], W) * coef
+                W = W - V[i] @ Hij
+                H = H.at[i, j].add(jnp.where(i < m, Hij, 0))
+                return (W, H)
+
+            W, H = jax.lax.fori_loop(0, m + 1, mgs, (W, H))
+            Q, Rj = _block_qr(W)
+            H = H.at[j + 1, j].set(Rj.astype(dtype))
+            V = V.at[j + 1].set(Q.astype(dtype))
+            _, res = ls_residual(H, j + 1)
+            return (V, H, it + 1, j + 1, res / bnorm)
+
+        rinf = jnp.full((mu,), jnp.inf, jnp.zeros((), dtype).real.dtype)
+        V, H, it, j_used, res = jax.lax.while_loop(
+            step_cond, step, (V, H, it, jnp.int32(0), rinf)
+        )
+        Y, _ = ls_residual(H, j_used)
+        # x += sum_i V_i Y[i*mu:(i+1)*mu, :]
+        Yb = Y.reshape(m, mu, mu)
+        x = x + jnp.einsum("jnp,jpq->nq", V[:m], Yb)
+        res_now = jnp.max(_norm_cols_loc(M(b - A(x))) / bnorm)
+        return (x, it, res_now)
+
+    def cond(carry):
+        x, it, res = carry
+        return (it < maxiter) & (res > tol)
+
+    rdtype = jnp.zeros((), dtype).real.dtype
+    x, it, res = jax.lax.while_loop(
+        cond, cycle, (x, jnp.int32(0), jnp.asarray(jnp.inf, rdtype))
+    )
+    tnorm = _norm_cols_loc(b)
+    tnorm = jnp.where(tnorm == 0, 1.0, tnorm)
+    true_res = jnp.max(_norm_cols_loc(b - A(x)) / tnorm)
+    return KrylovResult(x, it, true_res, res <= tol)
