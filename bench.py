@@ -68,7 +68,10 @@ def main():
     rng = np.random.RandomState(0)
     xc = jnp.asarray(rng.randn(n, nrhs).astype(dtype))
 
-    f = jax.jit(lambda x: matvec(H, x))
+    # matvec is jitted with H as a pytree ARGUMENT — wrapping it in another
+    # jit that closes over H would bake ~GBs of bucket data into the program
+    # as constants and blow up remote compile time
+    f = lambda x: matvec(H, x)
     y = f(xc)
     y.block_until_ready()  # compile
     iters = 20

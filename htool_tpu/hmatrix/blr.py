@@ -52,6 +52,9 @@ __all__ = [
     "blr_solve",
     "blr_matvec",
     "blr_matmul",
+    "blr_triangular_solve",
+    "blr_backward_error",
+    "widen_blr",
 ]
 
 ZERO, DENSE, LR = 0, 1, 2
@@ -84,6 +87,7 @@ class BLRMatrix:
     kind: str = "lu"  # factorization kind once factorized: "lu" | "chol"
     permutation: np.ndarray = None  # cluster -> user
     info: dict = field(default_factory=dict)
+    cache: dict = field(default_factory=dict, repr=False)  # host plan caches
 
     @property
     def nL(self) -> int:
@@ -482,19 +486,27 @@ def _k_schur_lr_target(
 
 
 @partial(jax.jit, static_argnames=("Rh",))
-def _k_recompress(U, V, ranks, slots, epsilon, Rh):
-    """Batched epsilon-truncation of touched LR cells, capped at R_half."""
+def _k_recompress(U, V, ranks, slots, epsilon, Rh, capped=None):
+    """Batched epsilon-truncation of touched LR cells, capped at R_half.
+
+    ``capped`` (optional [n_lr] bool) accumulates, per cell, whether the
+    epsilon-rank EXCEEDED the cap — the silent-accuracy-loss detector behind
+    the factorization's backward-error guard."""
     Us, Vs, rs = U[slots], V[slots], ranks[slots]
     U2, V2, r2 = batched_recompress(Us, Vs, rs, epsilon)
+    hit = r2 > Rh
     r2 = jnp.minimum(r2, Rh)
     keep = jnp.arange(U.shape[2])[None, :] < r2[:, None]
     U2 = U2 * keep[:, None, :].astype(U.dtype)
     V2 = V2 * keep[:, :, None].astype(V.dtype)
-    return (
+    out = (
         U.at[slots].set(U2),
         V.at[slots].set(V2),
         ranks.at[slots].set(r2.astype(jnp.int32)),
     )
+    if capped is not None:
+        out = out + (capped.at[slots].max(hit.astype(jnp.int32)),)
+    return out
 
 
 def _pad_pow2(arr_list, dummy):
@@ -518,12 +530,20 @@ def _pad_pow2(arr_list, dummy):
 # ======================================================================
 
 
-def blr_lu(A: BLRMatrix, epsilon: Optional[float] = None) -> BLRMatrix:
+def blr_lu(A: BLRMatrix, epsilon: Optional[float] = None,
+           auto_escalate: int = 1, error_estimate: bool = True) -> BLRMatrix:
     """Right-looking BLR LU (the H-LU equivalent, factorization.hpp:19-79).
 
     Returns a new factorized BLRMatrix: diagonal cells hold their pivoted LU
     factors, subdiagonal cells hold L_ik = A_ik A_kk⁻¹, superdiagonal cells
-    hold the updated U_kj = A_kj."""
+    hold the updated U_kj = A_kj.
+
+    Accuracy guard: cells whose epsilon-rank exceeds the R_half cap during
+    the Schur recompressions are counted (``info['n_rank_capped_cells']``);
+    with ``auto_escalate`` > 0 the factorization re-runs with doubled
+    R_half buffers until no cell is capped (or the budget is spent).  With
+    ``error_estimate`` a stochastic backward error ‖(A − LU)Z‖/‖AZ‖ is
+    reported in ``info['backward_error_est']``."""
     eps = A.epsilon if epsilon is None else epsilon
     nL, b, Rh = A.nL, A.b, A.R_half
     t0 = time.perf_counter()
@@ -583,6 +603,7 @@ def blr_lu(A: BLRMatrix, epsilon: Optional[float] = None) -> BLRMatrix:
     # re-simulate classes step by step while executing
     cls = A.cls.copy()
     piv_all = jnp.zeros((nL, b), jnp.int32)
+    capped = jnp.zeros((U.shape[0],), jnp.int32)
 
     for k in range(nL):
         # 1. factor diagonal
@@ -683,7 +704,9 @@ def blr_lu(A: BLRMatrix, epsilon: Optional[float] = None) -> BLRMatrix:
             # 5. recompress touched lr targets back to rank <= R_half
             sl = sorted(set(touched_lr))
             (slots,) = _pad_pow2([sl], DUMMY_L)
-            U, V, ranks = _k_recompress(U, V, ranks, slots, eps, Rh)
+            U, V, ranks, capped = _k_recompress(
+                U, V, ranks, slots, eps, Rh, capped
+            )
 
     out = BLRMatrix(
         n=A.n,
@@ -705,10 +728,22 @@ def blr_lu(A: BLRMatrix, epsilon: Optional[float] = None) -> BLRMatrix:
         info=dict(A.info),
     )
     out.info["lu_walltime"] = time.perf_counter() - t0
+    out.info["n_rank_capped_cells"] = int(
+        np.asarray(capped[:DUMMY_L]).sum()
+    )
+    out.info["R_half"] = Rh
+    if out.info["n_rank_capped_cells"] > 0 and auto_escalate > 0:
+        return blr_lu(
+            widen_blr(A, 2 * Rh), eps, auto_escalate - 1, error_estimate
+        )
+    if error_estimate:
+        out.info["backward_error_est"] = blr_backward_error(A, out, n_probe=2)
     return out
 
 
-def blr_cholesky(A: BLRMatrix, epsilon: Optional[float] = None) -> BLRMatrix:
+def blr_cholesky(A: BLRMatrix, epsilon: Optional[float] = None,
+                 auto_escalate: int = 1,
+                 error_estimate: bool = True) -> BLRMatrix:
     """Right-looking BLR Cholesky A = L·L^H — the H-Cholesky equivalent
     (``factorization.hpp:131-205``): per step k factor the diagonal cell
     (potrf), transform the subdiagonal column panel L_ik = A_ik L_kk^{-H},
@@ -778,6 +813,7 @@ def blr_cholesky(A: BLRMatrix, epsilon: Optional[float] = None) -> BLRMatrix:
     for i in range(nL):
         for j in range(i + 1, nL):
             cls[i, j] = ZERO
+    capped = jnp.zeros((U.shape[0],), jnp.int32)
 
     for k in range(nL):
         # 1. factor diagonal (potrf)
@@ -869,7 +905,9 @@ def blr_cholesky(A: BLRMatrix, epsilon: Optional[float] = None) -> BLRMatrix:
             )
             sl = sorted(set(touched_lr))
             (slots,) = _pad_pow2([sl], DUMMY_L)
-            U, V, ranks = _k_recompress(U, V, ranks, slots, eps, Rh)
+            U, V, ranks, capped = _k_recompress(
+                U, V, ranks, slots, eps, Rh, capped
+            )
 
     out = BLRMatrix(
         n=A.n,
@@ -892,6 +930,16 @@ def blr_cholesky(A: BLRMatrix, epsilon: Optional[float] = None) -> BLRMatrix:
         info=dict(A.info),
     )
     out.info["cholesky_walltime"] = time.perf_counter() - t0
+    out.info["n_rank_capped_cells"] = int(
+        np.asarray(capped[:DUMMY_L]).sum()
+    )
+    out.info["R_half"] = Rh
+    if out.info["n_rank_capped_cells"] > 0 and auto_escalate > 0:
+        return blr_cholesky(
+            widen_blr(A, 2 * Rh), eps, auto_escalate - 1, error_estimate
+        )
+    if error_estimate:
+        out.info["backward_error_est"] = blr_backward_error(A, out, n_probe=2)
     return out
 
 
@@ -957,7 +1005,7 @@ def _sweep_tables(F: BLRMatrix, which: str, trans: str):
     ``op(T, trans)``.  Returns numpy (order, dsl, dj, lsl, lj, dgs) where
     padded entries point at the zero dummy slots.  Cached on F.info."""
     key = ("_sweep", which, trans != "N")
-    cached = F.info.get(key)
+    cached = F.cache.get(key)
     if cached is not None:
         return cached
     nL = F.nL
@@ -1002,13 +1050,13 @@ def _sweep_tables(F: BLRMatrix, which: str, trans: str):
     plan = (
         np.asarray(order, np.int32), dsl, dj, lsl, lj, dgs,
     )
-    F.info[key] = plan
+    F.cache[key] = plan
     return plan
 
 
 def _cells_plan(F: BLRMatrix):
     """Pad/compact index maps for cell layout <-> flat vectors (cached)."""
-    plan = F.info.get("_cells")
+    plan = F.cache.get("_cells")
     if plan is None:
         ar = np.arange(F.b)[None, :]
         pad_idx = np.minimum(F.cell_off[:, None] + ar, F.n - 1)
@@ -1021,7 +1069,7 @@ def _cells_plan(F: BLRMatrix):
             jnp.asarray(mask),
             jnp.asarray(keep, jnp.int32),
         )
-        F.info["_cells"] = plan
+        F.cache["_cells"] = plan
     return plan
 
 
@@ -1180,7 +1228,7 @@ def blr_matvec(A: BLRMatrix, x):
     dtype = jnp.result_type(A.dtype, x.dtype)
     xc = _to_cells(A, x, dtype)
 
-    plan = A.info.get("_matvec")
+    plan = A.cache.get("_matvec")
     if plan is None:
         DUMMY_D = int(np.asarray(A.D).shape[0]) - 1
         DUMMY_L = int(np.asarray(A.U).shape[0]) - 1
@@ -1200,7 +1248,7 @@ def blr_matvec(A: BLRMatrix, x):
             padded(di, 0), padded(dj_, 0), padded(dsl, DUMMY_D),
             padded(li, 0), padded(lj_, 0), padded(lsl, DUMMY_L),
         )
-        A.info["_matvec"] = plan
+        A.cache["_matvec"] = plan
     d_i, d_j, d_slot, l_i, l_j, l_slot = plan
     yc = _k_blr_matvec(A.D, A.U, A.V, xc, d_i, d_j, d_slot, l_i, l_j, l_slot,
                        A.R_half)
@@ -1356,3 +1404,160 @@ def _blr_matmul_batched(A: BLRMatrix, B: BLRMatrix, C: BLRMatrix, eps):
             U, V, ranks = _k_recompress(U, V, ranks, slots, eps, Rh)
     C.D, C.U, C.V, C.ranks = D, U, V, ranks
     return C
+
+
+# ======================================================================
+# factorization accuracy guard
+# ======================================================================
+
+
+def widen_blr(A: BLRMatrix, R_half: int) -> BLRMatrix:
+    """Return a copy of (unfactorized) ``A`` with LR buffers widened to a
+    larger ``R_half`` — the rank-cap escalation step.  Cell contents are
+    unchanged (padding is zero)."""
+    if A.factorized:
+        raise ValueError("widen_blr applies to unfactorized matrices")
+    R_half = int(-(-R_half // 8) * 8)
+    if R_half <= A.R_half:
+        return A
+    R_buf = 2 * R_half
+    padU = jnp.zeros((A.U.shape[0], A.b, R_buf - A.U.shape[2]), A.dtype)
+    padV = jnp.zeros((A.V.shape[0], R_buf - A.V.shape[1], A.b), A.dtype)
+    from dataclasses import replace
+
+    return replace(
+        A,
+        U=jnp.concatenate([A.U, padU], axis=2),
+        V=jnp.concatenate([A.V, padV], axis=1),
+        R_half=R_half,
+        info=dict(A.info),
+    )
+
+
+def _cells_matvec_tables(F: BLRMatrix, which: str):
+    """Padded all-cells tables restricted to the strict ``which`` triangle
+    ('L' j<i, 'U' j>i), for the factor-apply diagnostics."""
+    DUMMY_D = int(np.asarray(F.D).shape[0]) - 1
+    DUMMY_L = int(np.asarray(F.U).shape[0]) - 1
+    di, dj_, li, lj_, dsl, lsl = [], [], [], [], [], []
+    for i in range(F.nL):
+        rng = range(i) if which == "L" else range(i + 1, F.nL)
+        for j in rng:
+            c = F.cls[i, j]
+            if c == DENSE:
+                di.append(i); dj_.append(j); dsl.append(int(F.dense_slot[i, j]))
+            elif c == LR:
+                li.append(i); lj_.append(j); lsl.append(int(F.lr_slot[i, j]))
+
+    def padded(a, dummy):
+        n = max(1, len(a))
+        p = 1
+        while p < n:
+            p *= 2
+        out = np.full(p, dummy, np.int32)
+        out[: len(a)] = a
+        return jnp.asarray(out)
+
+    return (
+        padded(di, 0), padded(dj_, 0), padded(dsl, DUMMY_D),
+        padded(li, 0), padded(lj_, 0), padded(lsl, DUMMY_L),
+    )
+
+
+def _factor_matvec(F: BLRMatrix, z):
+    """Apply the FACTORIZATION as an operator: (L̂·Û) z for LU, (L·L^H) z
+    for Cholesky — used to sample the backward error ‖A − LU‖."""
+    z = jnp.asarray(z)
+    squeeze = z.ndim == 1
+    if squeeze:
+        z = z[:, None]
+    dtype = jnp.result_type(F.dtype, z.dtype)
+    zc = _to_cells(F, z, dtype)  # [nL, b, k]
+    nL, b = F.nL, F.b
+    k = z.shape[1]
+    diag = F.D[jnp.asarray([int(F.dense_slot[i, i]) for i in range(nL)])]
+
+    if F.kind == "chol":
+        Lw = jnp.tril(diag)
+        # w = L^H z: strict-lower cells (j,i) conj-transposed + diag L_i^H
+        lowT = _cells_matvec_tables(F, "L")
+        d_i, d_j, d_slot, l_i, l_j, l_slot = lowT
+        # conj-transposed apply: cell L_ij contributes L_ij^H z_i to row j
+        wc = jnp.einsum("cji,cjk->cik", jnp.conj(F.D[d_slot]), zc[d_i])
+        w = jnp.zeros_like(zc).at[d_j].add(wc)
+        Rh = F.R_half
+        wl = jnp.einsum(
+            "cri,cjr,cjk->cik",
+            jnp.conj(F.V[l_slot][:, :Rh, :]),
+            jnp.conj(F.U[l_slot][:, :, :Rh]),
+            zc[l_i],
+        )
+        w = w.at[l_j].add(wl)
+        w = w + jnp.einsum("cji,cjk->cik", jnp.conj(Lw), zc)
+        # y = L w
+        y = _k_blr_matvec_cells(F, w, "L")
+        y = y + jnp.einsum("cij,cjk->cik", Lw, w)
+    else:
+        # w = Û z: strict upper cells + diag A_kk z (reconstructed from LU)
+        w = _k_blr_matvec_cells(F, zc, "U")
+        lu = diag
+        Ut = jnp.triu(lu)
+        Lt = jnp.tril(lu, -1) + jnp.eye(b, dtype=lu.dtype)[None]
+        t = jnp.einsum("cij,cjk->cik", Ut, zc)
+        t = jnp.einsum("cij,cjk->cik", Lt, t)
+        # A_kk = (L U)[invp] with p from forward piv swaps
+        piv = np.asarray(F.piv)
+        invp = np.zeros((nL, b), np.int64)
+        for c in range(nL):
+            p = np.arange(b)
+            for i in range(b):
+                pi = int(piv[c, i])
+                p[[i, pi]] = p[[pi, i]]
+            invp[c] = np.argsort(p)
+        t = jnp.take_along_axis(t, jnp.asarray(invp)[:, :, None], axis=1)
+        w = w + t
+        # y = L̂ w (unit diag)
+        y = _k_blr_matvec_cells(F, w, "L") + w
+
+    out = _from_cells(F, y)
+    return out[:, 0] if squeeze else out
+
+
+def _k_blr_matvec_cells(F: BLRMatrix, xc, which: str):
+    """Batched product over the strict 'L'/'U' cells only (cells applied
+    un-transposed)."""
+    key = ("_cellsmv", which)
+    tabs = F.cache.get(key)
+    if tabs is None:
+        tabs = _cells_matvec_tables(F, which)
+        F.cache[key] = tabs
+    d_i, d_j, d_slot, l_i, l_j, l_slot = tabs
+    yc = jnp.zeros_like(xc)
+    cd = jnp.einsum("cij,cjk->cik", F.D[d_slot].astype(xc.dtype), xc[d_j])
+    yc = yc.at[d_i].add(cd)
+    Rh = F.R_half
+    cl = jnp.einsum(
+        "cir,crj,cjk->cik",
+        F.U[l_slot][:, :, :Rh].astype(xc.dtype),
+        F.V[l_slot][:, :Rh, :].astype(xc.dtype),
+        xc[l_j],
+    )
+    yc = yc.at[l_i].add(cl)
+    return yc
+
+
+def blr_backward_error(A: BLRMatrix, F: BLRMatrix, n_probe: int = 4,
+                       seed: int = 0):
+    """Stochastic backward-error estimate of a factorization:
+    ‖(A − L·U) Z‖_F / ‖A Z‖_F over ``n_probe`` Gaussian probes — the
+    accuracy guard the reference lacks (its H-LU is silently approximate
+    too; factorization.hpp:19-79)."""
+    rng = np.random.default_rng(seed)
+    z = jnp.asarray(rng.standard_normal((A.n, n_probe)))
+    if jnp.issubdtype(A.dtype, jnp.complexfloating):
+        z = z + 1j * jnp.asarray(rng.standard_normal((A.n, n_probe)))
+    az = blr_matvec(A, z)
+    fz = _factor_matvec(F, z)
+    num = jnp.linalg.norm(az - fz)
+    den = jnp.linalg.norm(az)
+    return float(num / jnp.where(den == 0, 1.0, den))

@@ -181,3 +181,24 @@ def test_ddm_with_blr_local_solver():
     s2 = DDMSolver(H, gen, tree, schwarz="ras", overlap_radius=1.5)
     _, infos2 = s2.solve(b, tol=1e-6, maxiter=300, krylov="gmres")
     assert abs(infos["Nb_it"] - infos2["Nb_it"]) <= 2
+
+
+def test_factorization_accuracy_guard():
+    """Rank-cap detection + auto-escalation + backward-error estimate
+    (the accuracy guard over the silent R_half truncation in the Schur
+    recompressions)."""
+    pts = create_sphere(900)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=40)
+    gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
+    A = build_blr(gen, tree, epsilon=1e-4, eta=10.0, block_size=80, R_half=8)
+    F0 = blr_lu(A, epsilon=1e-12, auto_escalate=0)
+    F1 = blr_lu(A, epsilon=1e-12, auto_escalate=3)
+    assert F0.info["n_rank_capped_cells"] > 0
+    assert F1.info["n_rank_capped_cells"] == 0
+    assert F1.info["R_half"] > F0.info["R_half"]
+    # the reported estimate matches the true sampled factor error
+    from htool_tpu.hmatrix.blr import blr_backward_error
+
+    est = blr_backward_error(A, F1, n_probe=4, seed=3)
+    assert est < 10 * 1e-4  # <= 10 eps_build
+    assert "backward_error_est" in F1.info
