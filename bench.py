@@ -1,13 +1,19 @@
 """Benchmark harness — runs on the real TPU chip (default axon platform).
 
-Headline workload (BASELINE.md / BASELINE.json configs[0]): 10k-point sphere,
-regularized Laplace single-layer kernel, partial ACA at eps=1e-3 — H-matrix
-assembly + compressed matvec throughput.
+Produces the BASELINE.md table rows:
+- n in {10k, 100k} sphere / regularized-Laplace matvec (compressed
+  entries/s, effective GB/s, relative error), the 100k row through the
+  tiled Pallas path;
+- assembly phase breakdown (block-tree plan / device assembly, cold vs
+  warm compile cache);
+- BLR LU factorization + solve walltime with the backward-error estimate;
+- 8-virtual-device weak-scaling of the distributed matvec on the emulated
+  CPU mesh (functional scaling check — the chip is single-device).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
-auxiliary metrics on stderr.  The reference publishes no numbers
-(BASELINE.md), so vs_baseline is reported against our own first-round
-record when present (bench_baseline.json), else 1.0.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} (headline =
+10k matvec compressed entries/s vs our recorded bench_baseline.json) plus
+all auxiliary metrics on stderr.  The reference publishes no numbers
+(BASELINE.md), so vs_baseline is against our own first-round record.
 """
 
 import json
@@ -17,14 +23,183 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# must be set before the CPU backend initializes (weak-scaling rows)
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
 import numpy as np
+
+
+def _bench_matvec(n, nrhs, eps, aux, tiled):
+    import jax
+    import jax.numpy as jnp
+
+    import htool_tpu as ht
+    from htool_tpu.hmatrix.linalg import matvec, prepare_tiled_matvec
+
+    dtype = np.float32
+    pts = create_points(n)
+    gen = ht.KernelGenerator(
+        kernel(), pts.astype(dtype), pts.astype(dtype)
+    )
+    tree = ht.build_cluster_tree(pts, max_leaf_size=256)
+
+    t0 = time.perf_counter()
+    H = ht.build_hmatrix(gen, tree, epsilon=eps, eta=10.0)
+    jax.block_until_ready([b.data for b in H.dense_buckets])
+    t_assembly = time.perf_counter() - t0
+    info = ht.hmatrix_info(H)
+
+    # warm re-assembly: same shapes, compile cache hot -> device-time view
+    t0 = time.perf_counter()
+    H2 = ht.build_hmatrix(gen, tree, epsilon=eps, eta=10.0)
+    jax.block_until_ready([b.data for b in H2.dense_buckets])
+    t_assembly_warm = time.perf_counter() - t0
+    del H2
+
+    t_prepare = 0.0
+    if tiled:
+        t0 = time.perf_counter()
+        prepare_tiled_matvec(H)
+        t_prepare = time.perf_counter() - t0
+
+    rng = np.random.RandomState(0)
+    xc = jnp.asarray(rng.randn(n, nrhs).astype(dtype))
+    # matvec is jitted with H as a pytree ARGUMENT — never wrap it in a jit
+    # that closes over H (bucket data would bake in as HLO constants)
+    y = matvec(H, xc)
+    y.block_until_ready()
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = matvec(H, xc)
+    y.block_until_ready()
+    t_mv = (time.perf_counter() - t0) / iters
+
+    generated = (float(n) * n) / info["compression_ratio"]
+    entries_per_s = generated * nrhs / t_mv
+    sub = rng.choice(n, 256, replace=False)
+    A_rows = np.asarray(
+        gen.block(jnp.asarray(sub, jnp.int32), jnp.asarray(np.arange(n), jnp.int32))
+    )
+    y_ref = A_rows @ np.asarray(xc)
+    rel = np.linalg.norm(np.asarray(y)[sub] - y_ref) / np.linalg.norm(y_ref)
+
+    aux[f"matvec_n{n}"] = dict(
+        n=n,
+        nrhs=nrhs,
+        epsilon=eps,
+        assembly_s=t_assembly,
+        assembly_warm_s=t_assembly_warm,
+        block_tree_plan_s=info.get("block_tree_walltime", 0.0),
+        tiled_prepare_s=t_prepare,
+        matvec_s=t_mv,
+        compression_ratio=info["compression_ratio"],
+        rank_mean=info["rank_mean"],
+        n_false_positive=info["n_false_positive"],
+        matvec_rel_error=float(rel),
+        compressed_entries_per_s=entries_per_s,
+        effective_gbytes_per_s=entries_per_s * np.dtype(dtype).itemsize / 1e9,
+    )
+    return entries_per_s
+
+
+def _bench_blr(n, eps, aux):
+    import jax.numpy as jnp
+
+    import htool_tpu as ht
+    from htool_tpu.hmatrix.blr import blr_lu, blr_solve, build_blr
+
+    dtype = np.float32
+    pts = create_points(n)
+    gen = ht.KernelGenerator(kernel(), pts.astype(dtype), pts.astype(dtype))
+    tree = ht.build_cluster_tree(pts, max_leaf_size=256)
+    t0 = time.perf_counter()
+    A = build_blr(gen, tree, epsilon=eps, eta=10.0, block_size=512)
+    A.D.block_until_ready()
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    F = blr_lu(A, error_estimate=True)
+    F.D.block_until_ready()
+    t_lu = time.perf_counter() - t0
+    b = jnp.asarray(np.random.RandomState(1).randn(n, 8).astype(dtype))
+    x = blr_solve(F, b)
+    x.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(10):
+        x = blr_solve(F, b)
+    x.block_until_ready()
+    t_solve = (time.perf_counter() - t0) / 10
+    aux[f"blr_n{n}"] = dict(
+        n=n,
+        build_s=t_build,
+        lu_s=t_lu,
+        solve_s=t_solve,
+        backward_error_est=F.info.get("backward_error_est"),
+        n_rank_capped=F.info.get("n_rank_capped_cells"),
+        compression=A.compression_info()["compression_ratio"],
+    )
+
+
+def _bench_weak_scaling(aux):
+    """Distributed matvec on the emulated 8-device CPU mesh at fixed
+    per-device size (functional weak-scaling; the chip is single-device)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    import htool_tpu as ht
+    from htool_tpu.parallel import build_distributed_hmatrix
+
+    per_dev = 2000
+    rows = {}
+    cpu_devs = jax.devices("cpu")
+    for P in (1, 2, 4, 8):
+        n = per_dev * P
+        pts = create_points(n)
+        gen = ht.KernelGenerator(
+            kernel(), pts.astype(np.float32), pts.astype(np.float32)
+        )
+        tree = ht.build_cluster_tree(pts, max_leaf_size=128, n_partitions=P)
+        mesh = Mesh(np.array(cpu_devs[:P]), ("p",))
+        with jax.default_device(cpu_devs[0]):
+            D = build_distributed_hmatrix(gen, tree, mesh, epsilon=1e-3, eta=10.0)
+            x = jnp.asarray(np.random.RandomState(0).randn(n).astype(np.float32))
+            y = D.matvec(x)
+            y.block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(5):
+                y = D.matvec(x)
+            y.block_until_ready()
+            rows[P] = (time.perf_counter() - t0) / 5
+    eff = {}
+    for P in (2, 4, 8):
+        # weak scaling: per-device work constant but total work grows ~P
+        # (full block-row per device) -> ideal time grows ~1; report t1/tP
+        eff[P] = rows[1] / rows[P]
+    aux["weak_scaling_cpu_mesh"] = dict(
+        per_device_n=per_dev,
+        matvec_s={str(k): v for k, v in rows.items()},
+        t1_over_tP={str(k): v for k, v in eff.items()},
+    )
+
+
+def create_points(n):
+    from htool_tpu.testing import create_sphere
+
+    return create_sphere(n)
+
+
+def kernel():
+    from htool_tpu.testing import laplace_kernel_symmetric
+
+    return laplace_kernel_symmetric
 
 
 def main():
     import jax
 
-    # persistent XLA compile cache: assembly is a handful of big kernels whose
-    # remote-TPU compiles dominate first-run walltime; cache them across runs
     cache_dir = os.environ.get(
         "HTOOL_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/htool_tpu_xla")
     )
@@ -37,86 +212,39 @@ def main():
 
     import jax.numpy as jnp
 
-    import htool_tpu as ht
-    from htool_tpu.hmatrix.linalg import matvec
-    from htool_tpu.testing import create_sphere, laplace_kernel_symmetric
-
-    n = int(os.environ.get("BENCH_N", "10000"))
-    nrhs = int(os.environ.get("BENCH_NRHS", "8"))
-    eps = 1e-3
-    dtype = np.float32
-
-    pts = create_sphere(n)
-    gen = ht.KernelGenerator(
-        laplace_kernel_symmetric, pts.astype(dtype), pts.astype(dtype)
-    )
-    tree = ht.build_cluster_tree(pts, max_leaf_size=256)
-
     # claim the device before timing (the axon chip claim can take minutes
-    # right after another process released it; that's environment setup,
-    # not assembly cost)
+    # right after another process released it)
     jnp.zeros(()).block_until_ready()
 
-    t0 = time.perf_counter()
-    H = ht.build_hmatrix(gen, tree, epsilon=eps, eta=10.0)
-    jax.block_until_ready([b.data for b in H.dense_buckets])
-    t_assembly = time.perf_counter() - t0
-
-    info = ht.hmatrix_info(H)
-
-    # accuracy spot check on a random column block vs generator
-    rng = np.random.RandomState(0)
-    xc = jnp.asarray(rng.randn(n, nrhs).astype(dtype))
-
-    # matvec is jitted with H as a pytree ARGUMENT — wrapping it in another
-    # jit that closes over H would bake ~GBs of bucket data into the program
-    # as constants and blow up remote compile time
-    f = lambda x: matvec(H, x)
-    y = f(xc)
-    y.block_until_ready()  # compile
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = f(xc)
-    y.block_until_ready()
-    t_mv = (time.perf_counter() - t0) / iters
-
-    # compressed entries touched per matvec (dense mn + lr r(m+n)), the
-    # nnz/s analog from BASELINE.json
-    generated = (float(n) * n) / info["compression_ratio"]
-    entries_per_s = generated * nrhs / t_mv
-    gbytes_per_s = entries_per_s * np.dtype(dtype).itemsize / 1e9
-
-    # accuracy: matvec vs direct generator product on a subsample
-    sub = rng.choice(n, 512, replace=False)
-    A_rows = np.asarray(gen.block(sub, np.arange(n)))
-    y_ref = A_rows @ np.asarray(xc)
-    rel = np.linalg.norm(np.asarray(y)[sub] - y_ref) / np.linalg.norm(y_ref)
-
-    aux = dict(
-        n=n,
-        nrhs=nrhs,
-        epsilon=eps,
-        assembly_s=t_assembly,
-        matvec_s=t_mv,
-        compression_ratio=info["compression_ratio"],
-        space_saving=info["space_saving"],
-        rank_mean=info["rank_mean"],
-        n_false_positive=info["n_false_positive"],
-        matvec_rel_error=float(rel),
-        compressed_entries_per_s=entries_per_s,
-        effective_gbytes_per_s=gbytes_per_s,
-        backend=jax.default_backend(),
+    aux = dict(backend=jax.default_backend())
+    headline = _bench_matvec(
+        int(os.environ.get("BENCH_N", "10000")), 8, 1e-3, aux, tiled=False
     )
+    if os.environ.get("BENCH_SKIP_LARGE", "0") != "1":
+        try:
+            _bench_matvec(100_000, 8, 1e-3, aux, tiled=True)
+        except Exception as e:  # pragma: no cover - chip-memory dependent
+            aux["matvec_n100000"] = {"error": repr(e)[:200]}
+        try:
+            _bench_blr(10_000, 1e-4, aux)
+        except Exception as e:
+            aux["blr_n10000"] = {"error": repr(e)[:200]}
+    try:
+        _bench_weak_scaling(aux)
+    except Exception as e:
+        aux["weak_scaling_cpu_mesh"] = {"error": repr(e)[:200]}
+
     print(json.dumps(aux), file=sys.stderr)
 
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
+    )
     vs = 1.0
     if os.path.exists(base_path):
         try:
             base = json.load(open(base_path))
             if base.get("value"):
-                vs = entries_per_s / float(base["value"])
+                vs = headline / float(base["value"])
         except Exception:
             pass
 
@@ -124,7 +252,7 @@ def main():
         json.dumps(
             {
                 "metric": "hmatrix_matvec_compressed_entries_per_s",
-                "value": entries_per_s,
+                "value": headline,
                 "unit": "entries/s",
                 "vs_baseline": vs,
             }

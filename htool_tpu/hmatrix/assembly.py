@@ -159,7 +159,12 @@ def _compress_escalating(
         chunk = p
         for lo in range(0, idx.size, chunk):
             sel = idx[lo : lo + chunk]
-            padn = chunk - sel.size
+            # pad the (final, partial) chunk to the pow2 of ITS size — full
+            # ACA runs on padding blocks are pure waste
+            csz = 1
+            while csz < sel.size:
+                csz *= 2
+            padn = csz - sel.size
             sel_pad = np.concatenate([sel, np.full(padn, sel[-1], sel.dtype)])
             Uc, Vc, rk, fl = compress(
                 generator,
