@@ -251,6 +251,7 @@ def assemble_from_plan(
     adm_groups = group(plan.admissible, "pow2", orient=sym_orient)
 
     # ---------------- admissible leaves: batched ACA ----------------
+    t_aca0 = time.perf_counter()
     for (bm, bn, mirror, swap), leaves in sorted(adm_groups.items()):
         t_offs = np.array([l.t_off for l in leaves], dtype=np.int64)
         s_offs = np.array([l.s_off for l in leaves], dtype=np.int64)
@@ -359,6 +360,8 @@ def assemble_from_plan(
             dense_groups.setdefault(key, []).append(l)
 
     # ---------------- dense leaves: batched generator gather ----------------
+    t_aca = time.perf_counter() - t_aca0
+    t_dense0 = time.perf_counter()
     for (bm, bn, mirror, _), leaves in sorted(dense_groups.items()):
         if not leaves:
             continue
@@ -414,6 +417,10 @@ def assemble_from_plan(
         n_dense_blocks=sum(b.n_blocks for b in dense_buckets),
         n_low_rank_blocks=sum(b.n_blocks for b in lr_buckets),
         assembly_walltime=time.perf_counter() - t0,
+        # phase breakdown (the reference's chrono timings plus the split
+        # its info map lacks): compression vs dense generator evaluation
+        aca_walltime=t_aca,
+        dense_blocks_walltime=time.perf_counter() - t_dense0,
     )
     return h
 

@@ -55,6 +55,8 @@ __all__ = [
     "blr_triangular_solve",
     "blr_backward_error",
     "widen_blr",
+    "blr_transpose",
+    "blr_triangular_solve_matrix",
 ]
 
 ZERO, DENSE, LR = 0, 1, 2
@@ -1561,3 +1563,142 @@ def blr_backward_error(A: BLRMatrix, F: BLRMatrix, n_probe: int = 4,
     num = jnp.linalg.norm(az - fz)
     den = jnp.linalg.norm(az)
     return float(num / jnp.where(den == 0, 1.0, den))
+
+
+# ======================================================================
+# compressed-RHS triangular solve (H-H solve surface)
+# ======================================================================
+
+
+def blr_transpose(B: BLRMatrix, conj: bool = False) -> BLRMatrix:
+    """op(B) as a new BLRMatrix (cells mirrored, factors swapped)."""
+    from dataclasses import replace
+
+    D = jnp.swapaxes(B.D, 1, 2)
+    U = jnp.swapaxes(B.V, 1, 2)
+    V = jnp.swapaxes(B.U, 1, 2)
+    if conj:
+        D, U, V = jnp.conj(D), jnp.conj(U), jnp.conj(V)
+    return replace(
+        B,
+        cls=B.cls.T.copy(),
+        dense_slot=B.dense_slot.T.copy(),
+        lr_slot=B.lr_slot.T.copy(),
+        D=D,
+        U=U,
+        V=V,
+        info=dict(B.info),
+        cache={},
+    )
+
+
+def blr_triangular_solve_matrix(F: BLRMatrix, B: BLRMatrix, which: str = "L",
+                                side: str = "L", trans: str = "N",
+                                epsilon: Optional[float] = None) -> BLRMatrix:
+    """Solve ``op(T)·X = B`` (side 'L') or ``X·op(T) = B`` (side 'R') where
+    ``B`` AND the result are compressed BLR matrices — the reference's H-H
+    triangular solve (``triangular_hmatrix_hmatrix_solve.hpp:19-198``).
+
+    One scanned sweep per block-column of B (a dense [n, b] slab at a
+    time); each result column is re-tiled and every cell compressed back by
+    batched SVD at ``epsilon`` (dense when not advantageous)."""
+    if side == "R":
+        # X op(T) = B  <=>  op(T)^T X^T = B^T
+        if trans == "C":
+            Xt = blr_triangular_solve_matrix(
+                F, blr_transpose(B, conj=True), which, "L", "N", epsilon
+            )
+            return blr_transpose(Xt, conj=True)
+        flipped = "T" if trans == "N" else "N"
+        Xt = blr_triangular_solve_matrix(
+            F, blr_transpose(B), which, "L", flipped, epsilon
+        )
+        return blr_transpose(Xt)
+
+    if F.nL != B.nL or F.b != B.b:
+        raise ValueError("triangular matrix solve requires matching grids")
+    eps = B.epsilon if epsilon is None else epsilon
+    nL, b, Rh = B.nL, B.b, B.R_half
+    dtype = jnp.result_type(F.dtype, B.dtype)
+
+    cls = np.zeros((nL, nL), np.int8)
+    dense_slot = np.full((nL, nL), -1, np.int32)
+    lr_slot = np.full((nL, nL), -1, np.int32)
+    D_list, U_list, V_list, r_list = [], [], [], []
+    pad_idx, mask, keep = _cells_plan(B)
+
+    for j in range(nL):
+        # materialize column j of B as a dense slab [n, b]
+        colD = jnp.stack(
+            [
+                B.D[int(B.dense_slot[i, j])]
+                if B.cls[i, j] == DENSE
+                else (
+                    B.U[int(B.lr_slot[i, j])][:, :Rh]
+                    @ B.V[int(B.lr_slot[i, j])][:Rh, :]
+                    if B.cls[i, j] == LR
+                    else jnp.zeros((b, b), B.dtype)
+                )
+                for i in range(nL)
+            ]
+        )  # [nL, b, b]
+        slab = _from_cells(B, colD.astype(dtype))  # [n, b]
+        xs = blr_triangular_solve(F, slab, which=which, side="L", trans=trans)
+        xc = _to_cells(B, xs, dtype)  # [nL, b, b]
+        # compress every cell of the column at once
+        Uj, sj, Vj = jnp.linalg.svd(xc, full_matrices=False)
+        from .compressors import svd_truncation_rank
+
+        rj = svd_truncation_rank(sj, eps)
+        rj_np = np.asarray(rj)
+        sz_j = int(B.cell_size[j])
+        for i in range(nL):
+            r = int(rj_np[i])
+            if r == 0:
+                continue
+            if r * 2 * b < b * b and r <= Rh:
+                cls[i, j] = LR
+                lr_slot[i, j] = len(U_list)
+                w = 2 * Rh
+                Uc = jnp.zeros((b, w), dtype).at[:, :r].set(
+                    Uj[i][:, :r] * sj[i][:r][None, :].astype(dtype)
+                )
+                Vc = jnp.zeros((w, b), dtype).at[:r, :].set(Vj[i][:r, :])
+                U_list.append(Uc)
+                V_list.append(Vc)
+                r_list.append(r)
+            else:
+                cls[i, j] = DENSE
+                dense_slot[i, j] = len(D_list)
+                D_list.append(xc[i])
+
+    nd, nl = len(D_list), len(U_list)
+    D = jnp.stack(D_list + [jnp.zeros((b, b), dtype)])
+    U = (
+        jnp.stack(U_list + [jnp.zeros((b, 2 * Rh), dtype)])
+        if nl
+        else jnp.zeros((1, b, 2 * Rh), dtype)
+    )
+    V = (
+        jnp.stack(V_list + [jnp.zeros((2 * Rh, b), dtype)])
+        if nl
+        else jnp.zeros((1, 2 * Rh, b), dtype)
+    )
+    ranks = jnp.asarray(np.array(r_list + [0], np.int32))
+    return BLRMatrix(
+        n=B.n,
+        cell_off=B.cell_off,
+        cell_size=B.cell_size,
+        b=b,
+        cls=cls,
+        dense_slot=dense_slot,
+        lr_slot=lr_slot,
+        D=D,
+        U=U,
+        V=V,
+        ranks=ranks,
+        R_half=Rh,
+        epsilon=eps,
+        permutation=B.permutation,
+        info=dict(level=B.info.get("level"), n_cells=nL),
+    )

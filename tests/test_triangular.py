@@ -141,3 +141,29 @@ def test_chol_triangular_chain(chol_case, trans):
         y = blr_triangular_solve(F, b, which="L", trans="N")
         xs = np.asarray(blr_triangular_solve(F, y, which="U", trans="N"))
     assert np.linalg.norm(xs - x) / np.linalg.norm(x) < 1e-8
+
+
+def test_triangular_solve_compressed_rhs(lu_case):
+    """H-H triangular solve (triangular_hmatrix_hmatrix_solve.hpp:19-198):
+    compressed RHS and compressed result.  Chaining both factors on both
+    sides must reproduce the identity."""
+    from htool_tpu.hmatrix.blr import (
+        blr_transpose,
+        blr_triangular_solve_matrix,
+        build_blr,
+    )
+
+    F, Ad = lu_case
+    pts = create_sphere(900)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=40)
+    gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
+    A = build_blr(gen, tree, epsilon=1e-9, eta=10.0, block_size=80)
+    n = Ad.shape[0]
+    X = blr_triangular_solve_matrix(F, A, which="L", trans="N", epsilon=1e-10)
+    Y = blr_triangular_solve_matrix(F, X, which="U", trans="N", epsilon=1e-10)
+    assert np.linalg.norm(Y.to_dense() - np.eye(n)) / np.sqrt(n) < 1e-7
+    Xr = blr_triangular_solve_matrix(F, A, which="U", side="R", trans="N", epsilon=1e-10)
+    Zr = blr_triangular_solve_matrix(F, Xr, which="L", side="R", trans="N", epsilon=1e-10)
+    assert np.linalg.norm(Zr.to_dense() - np.eye(n)) / np.sqrt(n) < 1e-7
+    # transpose helper oracle
+    assert np.allclose(blr_transpose(A).to_dense(), A.to_dense().T)
