@@ -61,14 +61,29 @@ def prepare_tiled_matvec(h: HMatrix, tile_rows: int = 4096) -> HMatrix:
     of a GLOBAL H-matrix, in place.  Products then run the tiled fused
     kernel at scales where the resident Pallas kernels no longer fit VMEM
     (n beyond ~12k rows), keeping the fused no-gather/no-scatter hot path up
-    to BASELINE scales.  Call OUTSIDE jit, once, after assembly."""
+    to BASELINE scales.  Wide low-rank buckets whose one-shot plan would
+    bust VMEM get the split two-stage plan (t = V·x then y += U·t).  Call
+    OUTSIDE jit, once, after assembly."""
+    from ..ops.tiled_matvec import build_tile_plan_lr_split
+
     if not isinstance(h.t_root_off, int) or h.t_root_off != 0:
         raise ValueError("tiled plans require a global (non-restricted) H-matrix")
     pad_in = _pad_in_of(h)
     m, n = h.shape
-    for bucket in h.dense_buckets + h.lr_buckets:
-        bucket.plan_t = build_tile_plan(bucket, "t", m + pad_in, tile_rows)
-        bucket.plan_s = build_tile_plan(bucket, "s", n + pad_in, tile_rows)
+    ref_dtype = jnp.float32  # lanes(k) is constant for k <= 128
+
+    def make(bucket, side, out_len, is_lr):
+        plan = build_tile_plan(bucket, side, out_len, tile_rows)
+        if tiled_matvec_ok(ref_dtype, 1, plan) or not is_lr:
+            return plan
+        return build_tile_plan_lr_split(bucket, side, out_len, tile_rows)
+
+    for bucket in h.dense_buckets:
+        bucket.plan_t = make(bucket, "t", m + pad_in, False)
+        bucket.plan_s = make(bucket, "s", n + pad_in, False)
+    for bucket in h.lr_buckets:
+        bucket.plan_t = make(bucket, "t", m + pad_in, True)
+        bucket.plan_s = make(bucket, "s", n + pad_in, True)
     return h
 
 
@@ -245,7 +260,17 @@ def matvec(h: HMatrix, x, op: str = "N"):
                     y_pad = y_pad + yb
                     continue
                 plan = bucket.plan_t if out_side == "t" else bucket.plan_s
-                if (
+                if isinstance(plan, tuple):
+                    planA, planB = plan
+                    if (
+                        planB.out_len == y_pad.shape[0]
+                        and tiled_matvec_ok(dtype, x_pad.shape[1], planA)
+                        and tiled_matvec_ok(dtype, x_pad.shape[1], planB)
+                    ):
+                        t_mid = tiled_bucket_matvec(planA, x_pad, dtype)
+                        y_pad = y_pad + tiled_bucket_matvec(planB, t_mid, dtype)
+                        continue
+                elif (
                     plan is not None
                     and plan.out_len == y_pad.shape[0]
                     and tiled_matvec_ok(dtype, x_pad.shape[1], plan)

@@ -88,9 +88,7 @@ def build_tile_plan(bucket, out_side: str, out_len: int,
     zero block), and materialize the re-sorted block arrays.
 
     Must run OUTSIDE jit (host planning over concrete offsets)."""
-    from ..hmatrix.hmatrix import DenseBucket
-
-    is_dense = isinstance(bucket, DenseBucket)
+    is_dense = getattr(bucket, "data", None) is not None
     bm, bn = bucket.block_shape
     out_w = bm if out_side == "t" else bn
     in_w = bn if out_side == "t" else bm
@@ -101,7 +99,10 @@ def build_tile_plan(bucket, out_side: str, out_len: int,
     in_off = s_off if out_side == "t" else t_off
     nb = out_off.shape[0]
 
-    T = int(tile_rows)
+    # never allocate a tile buffer larger than the output itself
+    T = 256
+    while T < min(int(tile_rows), out_len):
+        T *= 2
     n_tiles = max(1, -(-out_len // T))
     item = jnp.dtype(bucket.data.dtype if is_dense else bucket.U.dtype).itemsize
     if is_dense:
@@ -157,6 +158,58 @@ def build_tile_plan(bucket, out_side: str, out_len: int,
     U = jnp.where(zero_mask, 0, bucket.U[gather])
     V = jnp.where(zero_mask, 0, bucket.V[gather])
     return TilePlan(kind="lr", U=U, V=V, **kw)
+
+
+def build_tile_plan_lr_split(bucket, out_side: str, out_len: int,
+                             tile_rows: int = _TILE_ROWS):
+    """Two chained dense-style tile plans for a WIDE low-rank bucket whose
+    one-shot plan busts VMEM: stage A computes t_i = op(V)_i · x_slice into a
+    compact [nb·r] staging vector (blocks write disjoint rows i·r), stage B
+    accumulates y += op(U)_i · t_i with the normal output tiling.  Each
+    stage's VMEM need is one x/t window + the small factor block, so the
+    fused path reaches arbitrary block widths."""
+    from ..hmatrix.hmatrix import LowRankBucket
+
+    assert isinstance(bucket, LowRankBucket)
+    bm, bn = bucket.block_shape
+    r = bucket.rank_padded
+    r_pad = max(8, -(-r // 8) * 8)
+    nb = int(np.asarray(bucket.t_off).shape[0])
+    trans = out_side == "s"
+    # stage A data: the factor contracted against x — V for 'N', U^T for 'T'
+    if not trans:
+        dataA = bucket.V  # [nb, r, bn]
+        in_off = bucket.s_off
+        dataB = bucket.U  # [nb, bm, r]
+        out_off = bucket.t_off
+    else:
+        dataA = jnp.swapaxes(bucket.U, 1, 2)  # U^T [nb, r, bm]
+        in_off = bucket.t_off
+        dataB = jnp.swapaxes(bucket.V, 1, 2)  # V^T [nb, bn, r]
+        out_off = bucket.s_off
+    if r_pad != r:
+        dataA = jnp.pad(dataA, ((0, 0), (0, r_pad - r), (0, 0)))
+        dataB = jnp.pad(dataB, ((0, 0), (0, 0), (0, r_pad - r)))
+
+    mid_off = np.arange(nb, dtype=np.int64) * r_pad
+    stageA = _DenseStand(dataA, np.asarray(in_off, np.int64), mid_off)
+    stageB = _DenseStand(dataB, mid_off, np.asarray(out_off, np.int64))
+    planA = build_tile_plan(stageA, "t", nb * r_pad + 16, tile_rows)
+    planB = build_tile_plan(stageB, "t", out_len, tile_rows)
+    return planA, planB
+
+
+class _DenseStand:
+    """Minimal dense-bucket stand-in for build_tile_plan."""
+
+    def __init__(self, data, s_off, t_off):
+        self.data = data
+        self.t_off = t_off
+        self.s_off = s_off
+
+    @property
+    def block_shape(self):
+        return (int(self.data.shape[1]), int(self.data.shape[2]))
 
 
 def tiled_matvec_ok(dtype, k: int, plan: TilePlan) -> bool:
