@@ -26,12 +26,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bucket_matvec import _GROUP_TARGET_BYTES, _VMEM_BUDGET, _interpret, _lanes
+from .bucket_matvec import _VMEM_BUDGET, _interpret, _lanes
 
 __all__ = ["TilePlan", "build_tile_plan", "tiled_bucket_matvec", "tiled_matvec_ok"]
 
-_TILE_ROWS = 4096  # output tile height (rows); VMEM cost 2*(T+E)*lanes(k)*item
-_GROUP_MAX = 8  # Element-indexed x windows per step (one BlockSpec each)
+_TILE_ROWS = 2048  # output tile height (rows); VMEM cost 2*(T+E)*lanes(k)*item
+_GROUP_MAX = 32  # Element-indexed x windows per step (one BlockSpec each)
 
 
 @dataclass
@@ -111,8 +111,12 @@ def build_tile_plan(bucket, out_side: str, out_len: int,
         r = bucket.rank_padded
         blk_bytes = (bm * _lanes(r) + r * _lanes(bn)) * item
     per = blk_bytes + (in_w + out_w) * 128 * item
+    # grid-step fixed cost dominates small steps: size the group from the
+    # REMAINING VMEM after the double-buffered tile, not a fixed target
+    tile_bytes = (T + out_w) * 128 * item
+    avail = max(_VMEM_BUDGET - 2 * tile_bytes, 2 * per)
     G = 1
-    while G < _GROUP_MAX and G * 2 * 2 * per <= 2 * _GROUP_TARGET_BYTES:
+    while G < _GROUP_MAX and 2 * (G * 2) * per <= avail:
         G *= 2
 
     order = np.argsort(out_off, kind="stable")
@@ -176,33 +180,35 @@ def build_tile_plan_lr_split(bucket, out_side: str, out_len: int,
     r_pad = max(8, -(-r // 8) * 8)
     nb = int(np.asarray(bucket.t_off).shape[0])
     trans = out_side == "s"
-    # stage A data: the factor contracted against x — V for 'N', U^T for 'T'
+    # both stage factors are kept [nb, r, width] so the (large) block width
+    # sits on the LANE dim: stage A contracts width (non-trans plan), stage B
+    # contracts r (trans plan, out_side='s') — no 16x lane padding of rank
     if not trans:
-        dataA = bucket.V  # [nb, r, bn]
-        in_off = bucket.s_off
-        dataB = bucket.U  # [nb, bm, r]
-        out_off = bucket.t_off
+        dataA = bucket.V  # [nb, r, bn], contract bn against x
+        x_off = bucket.s_off
+        dataB = jnp.swapaxes(bucket.U, 1, 2)  # [nb, r, bm]
+        y_off = bucket.t_off
     else:
-        dataA = jnp.swapaxes(bucket.U, 1, 2)  # U^T [nb, r, bm]
-        in_off = bucket.t_off
-        dataB = jnp.swapaxes(bucket.V, 1, 2)  # V^T [nb, bn, r]
-        out_off = bucket.s_off
+        dataA = jnp.swapaxes(bucket.U, 1, 2)  # [nb, r, bm], contract bm
+        x_off = bucket.t_off
+        dataB = bucket.V  # [nb, r, bn]
+        y_off = bucket.s_off
     if r_pad != r:
         dataA = jnp.pad(dataA, ((0, 0), (0, r_pad - r), (0, 0)))
-        dataB = jnp.pad(dataB, ((0, 0), (0, 0), (0, r_pad - r)))
+        dataB = jnp.pad(dataB, ((0, 0), (0, r_pad - r), (0, 0)))
 
     mid_off = np.arange(nb, dtype=np.int64) * r_pad
-    stageA = _DenseStand(dataA, np.asarray(in_off, np.int64), mid_off)
-    stageB = _DenseStand(dataB, mid_off, np.asarray(out_off, np.int64))
+    stageA = _DenseStand(dataA, t_off=mid_off, s_off=np.asarray(x_off, np.int64))
+    stageB = _DenseStand(dataB, t_off=mid_off, s_off=np.asarray(y_off, np.int64))
     planA = build_tile_plan(stageA, "t", nb * r_pad + 16, tile_rows)
-    planB = build_tile_plan(stageB, "t", out_len, tile_rows)
+    planB = build_tile_plan(stageB, "s", out_len, tile_rows)
     return planA, planB
 
 
 class _DenseStand:
     """Minimal dense-bucket stand-in for build_tile_plan."""
 
-    def __init__(self, data, s_off, t_off):
+    def __init__(self, data, t_off, s_off):
         self.data = data
         self.t_off = t_off
         self.s_off = s_off
