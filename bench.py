@@ -155,6 +155,9 @@ def _bench_weak_scaling(aux):
     per_dev = 2000
     rows = {}
     cpu_devs = jax.devices("cpu")
+    # pallas kernels cannot run compiled on the CPU mesh devices
+    prev_pallas = os.environ.get("HTOOL_TPU_PALLAS")
+    os.environ["HTOOL_TPU_PALLAS"] = "0"
     for P in (1, 2, 4, 8):
         n = per_dev * P
         pts = create_points(n)
@@ -183,6 +186,10 @@ def _bench_weak_scaling(aux):
         matvec_s={str(k): v for k, v in rows.items()},
         t1_over_tP={str(k): v for k, v in eff.items()},
     )
+    if prev_pallas is None:
+        os.environ.pop("HTOOL_TPU_PALLAS", None)
+    else:
+        os.environ["HTOOL_TPU_PALLAS"] = prev_pallas
 
 
 def create_points(n):
@@ -218,7 +225,7 @@ def main():
 
     aux = dict(backend=jax.default_backend())
     headline = _bench_matvec(
-        int(os.environ.get("BENCH_N", "10000")), 8, 1e-3, aux, tiled=False
+        int(os.environ.get("BENCH_N", "10000")), 8, 1e-3, aux, tiled=True
     )
     if os.environ.get("BENCH_SKIP_LARGE", "0") != "1":
         try:

@@ -47,6 +47,7 @@ __all__ = [
     "HMatrixBuilder",
     "build_hmatrix",
     "assemble_from_plan",
+    "hmatrix_from_dense",
     "batched_partial_aca",
     "matvec",
     "matvec_user",

@@ -509,3 +509,50 @@ def build_hmatrix(
     return HMatrixBuilder(
         epsilon=epsilon, eta=eta, symmetry=symmetry, UPLO=UPLO, **kwargs
     ).build(generator, target_tree, source_tree, target_partition=target_partition)
+
+
+def hmatrix_from_dense(
+    A,
+    tree: ClusterTree,
+    target_partition: int = -1,
+    source_partition: int = -1,
+) -> HMatrix:
+    """Wrap a DENSE (sub)matrix as a single-bucket HMatrix — the dense
+    local-operator of the distributed layer
+    (``implementations/global_to_local_operators/dense_matrix.hpp:9-45``):
+    pass the result to :func:`~htool_tpu.parallel.distributed.
+    build_distributed_from_local_hmatrices` to wire dense local operators
+    into a distributed operator, or use it standalone.
+
+    ``A`` is in CLUSTER numbering and spans the (partition-restricted)
+    target/source ranges of ``tree``."""
+    A = jnp.asarray(A)
+    offs, sizes = tree.partition_offsets_sizes()
+    t_off = int(offs[target_partition]) if target_partition >= 0 else 0
+    t_size = int(sizes[target_partition]) if target_partition >= 0 else tree.n_points
+    s_off = int(offs[source_partition]) if source_partition >= 0 else 0
+    s_size = int(sizes[source_partition]) if source_partition >= 0 else tree.n_points
+    if A.shape != (t_size, s_size):
+        raise ValueError(
+            f"dense block has shape {A.shape}, expected ({t_size}, {s_size})"
+        )
+    bm = max(8, -(-t_size // 8) * 8)
+    bn = max(8, -(-s_size // 8) * 8)
+    data = jnp.zeros((1, bm, bn), A.dtype).at[0, :t_size, :s_size].set(A)
+    bucket = DenseBucket(
+        data=data,
+        t_off=jnp.asarray([t_off], jnp.int32),
+        s_off=jnp.asarray([s_off], jnp.int32),
+        t_sizes=np.array([t_size]),
+        s_sizes=np.array([s_size]),
+    )
+    return HMatrix(
+        shape=(t_size, tree.n_points),
+        dense_buckets=[bucket],
+        lr_buckets=[],
+        perm_t=jnp.asarray(tree.permutation, jnp.int32),
+        perm_s=jnp.asarray(tree.permutation, jnp.int32),
+        t_root_off=t_off,
+        info=dict(epsilon=0.0, eta=0.0, n_false_positive=0,
+                  n_dense_blocks=1, n_low_rank_blocks=0),
+    )

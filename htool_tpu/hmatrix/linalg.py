@@ -222,10 +222,29 @@ def matvec(h: HMatrix, x, op: str = "N"):
             out_w = bm if out_side == "t" else bn
 
             # fused Pallas paths (TPU, real dtypes): no gather/scatter HLOs —
-            # the scatter-add dominates the XLA path on TPU.  Small vectors
-            # use the fully VMEM-resident kernels; beyond the VMEM wall the
-            # pre-planned tiled kernel takes over (ops/tiled_matvec.py).
+            # the scatter-add dominates the XLA path on TPU.  The pre-planned
+            # TILED kernel (ops/tiled_matvec.py) is preferred at every scale
+            # (2-3x faster than the resident kernels even at n=10k); the
+            # resident kernels remain for un-prepared matrices that fit VMEM.
             if not jnp.issubdtype(dtype, jnp.complexfloating):
+                plan = bucket.plan_t if out_side == "t" else bucket.plan_s
+                if isinstance(plan, tuple):
+                    planA, planB = plan
+                    if (
+                        planB.out_len == y_pad.shape[0]
+                        and tiled_matvec_ok(dtype, x_pad.shape[1], planA)
+                        and tiled_matvec_ok(dtype, x_pad.shape[1], planB)
+                    ):
+                        t_mid = tiled_bucket_matvec(planA, x_pad, dtype)
+                        y_pad = y_pad + tiled_bucket_matvec(planB, t_mid, dtype)
+                        continue
+                elif (
+                    plan is not None
+                    and plan.out_len == y_pad.shape[0]
+                    and tiled_matvec_ok(dtype, x_pad.shape[1], plan)
+                ):
+                    y_pad = y_pad + tiled_bucket_matvec(plan, x_pad, dtype)
+                    continue
                 lanes = lambda d: -(-d // 128) * 128
                 item = jnp.dtype(dtype).itemsize
                 if is_dense:
@@ -258,24 +277,6 @@ def matvec(h: HMatrix, x, op: str = "N"):
                             y_pad.shape[0],
                         )
                     y_pad = y_pad + yb
-                    continue
-                plan = bucket.plan_t if out_side == "t" else bucket.plan_s
-                if isinstance(plan, tuple):
-                    planA, planB = plan
-                    if (
-                        planB.out_len == y_pad.shape[0]
-                        and tiled_matvec_ok(dtype, x_pad.shape[1], planA)
-                        and tiled_matvec_ok(dtype, x_pad.shape[1], planB)
-                    ):
-                        t_mid = tiled_bucket_matvec(planA, x_pad, dtype)
-                        y_pad = y_pad + tiled_bucket_matvec(planB, t_mid, dtype)
-                        continue
-                elif (
-                    plan is not None
-                    and plan.out_len == y_pad.shape[0]
-                    and tiled_matvec_ok(dtype, x_pad.shape[1], plan)
-                ):
-                    y_pad = y_pad + tiled_bucket_matvec(plan, x_pad, dtype)
                     continue
 
             xg = _gather(x_pad, in_off, in_w)
