@@ -187,3 +187,35 @@ def test_local_diagonal_builder_block_jacobi():
     assert infos["Converged"]
     res = np.linalg.norm(A @ np.asarray(xs) - bvec) / np.linalg.norm(bvec)
     assert res < 1e-4
+
+
+def test_dense_local_operator():
+    """hmatrix_from_dense (the dense g2l local operator,
+    global_to_local_operators/dense_matrix.hpp): wrap per-partition dense
+    blocks and wire them as a distributed operator."""
+    from htool_tpu.hmatrix.assembly import hmatrix_from_dense
+    from htool_tpu.parallel import (
+        build_distributed_from_local_hmatrices,
+        default_mesh,
+    )
+    from htool_tpu.testing import grid_laplacian
+
+    Pn = 4
+    pts, A = grid_laplacian((8, 8, 4))
+    tree = ht.build_cluster_tree(pts, max_leaf_size=40, n_partitions=Pn)
+    perm = tree.permutation
+    Ac = A[np.ix_(perm, perm)]
+    offs, sizes = tree.partition_offsets_sizes()
+
+    # global wrap oracle
+    Hg = hmatrix_from_dense(Ac, tree)
+    x = np.random.default_rng(0).standard_normal(A.shape[0])
+    assert np.allclose(np.asarray(Hg @ x), A @ x, atol=1e-10)
+
+    # per-partition block-rows -> distributed operator == full matrix
+    locs = []
+    for p in range(Pn):
+        o, s = int(offs[p]), int(sizes[p])
+        locs.append(hmatrix_from_dense(Ac[o : o + s, :], tree, target_partition=p))
+    d = build_distributed_from_local_hmatrices(locs, tree, default_mesh(Pn))
+    assert np.allclose(np.asarray(d.matvec(x)), A @ x, atol=1e-10)
