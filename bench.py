@@ -154,6 +154,7 @@ def _bench_weak_scaling(aux):
 
     per_dev = 2000
     rows = {}
+    entries = {}
     cpu_devs = jax.devices("cpu")
     # pallas kernels cannot run compiled on the CPU mesh devices
     prev_pallas = os.environ.get("HTOOL_TPU_PALLAS")
@@ -168,6 +169,12 @@ def _bench_weak_scaling(aux):
         mesh = Mesh(np.array(cpu_devs[:P]), ("p",))
         with jax.default_device(cpu_devs[0]):
             D = build_distributed_hmatrix(gen, tree, mesh, epsilon=1e-3, eta=10.0)
+            from htool_tpu.parallel import distributed_hmatrix_info
+
+            dinfo = distributed_hmatrix_info(D)
+            entries[P] = (float(n) * n) / dinfo.get(
+                "compression_ratio", dinfo.get("compression_ratio_mean", 1.0)
+            )
             x = jnp.asarray(np.random.RandomState(0).randn(n).astype(np.float32))
             y = D.matvec(x)
             y.block_until_ready()
@@ -178,13 +185,15 @@ def _bench_weak_scaling(aux):
             rows[P] = (time.perf_counter() - t0) / 5
     eff = {}
     for P in (2, 4, 8):
-        # weak scaling: per-device work constant but total work grows ~P
-        # (full block-row per device) -> ideal time grows ~1; report t1/tP
-        eff[P] = rows[1] / rows[P]
+        # weak scaling: the total compressed work grows with n = P*per_dev,
+        # so efficiency = per-device throughput relative to P = 1
+        thr1 = entries[1] / rows[1]
+        thrP = entries[P] / rows[P] / P
+        eff[P] = thrP / thr1
     aux["weak_scaling_cpu_mesh"] = dict(
         per_device_n=per_dev,
         matvec_s={str(k): v for k, v in rows.items()},
-        t1_over_tP={str(k): v for k, v in eff.items()},
+        per_device_efficiency={str(k): v for k, v in eff.items()},
     )
     if prev_pallas is None:
         os.environ.pop("HTOOL_TPU_PALLAS", None)
