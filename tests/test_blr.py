@@ -202,3 +202,43 @@ def test_factorization_accuracy_guard():
     est = blr_backward_error(A, F1, n_probe=4, seed=3)
     assert est < 10 * 1e-4  # <= 10 eps_build
     assert "backward_error_est" in F1.info
+
+
+def test_two_level_blr_lu():
+    """Two-level panel factorization prototype (blr2): BLR diagonal panels +
+    panel-level low-rank off-diagonals — memory below one-level BLR at
+    equal accuracy, solve error ~epsilon (toward factorization.hpp:19-79
+    asymptotics)."""
+    from htool_tpu.hmatrix.blr2 import (
+        blr2_lu,
+        blr2_matvec,
+        blr2_solve,
+        build_blr2,
+    )
+
+    n = 3000
+    pts = create_sphere(n)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=64)
+    gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
+    eps = 1e-6
+    A2 = build_blr2(gen, tree, epsilon=eps, coarse_size=800, block_size=80,
+                    panel_rank_cap=512)
+    Ad = np.asarray(gen.to_dense())
+    Pm = tree.permutation
+    Adc = Ad[np.ix_(Pm, Pm)]
+    x = np.random.default_rng(0).standard_normal((n, 2))
+    y = np.asarray(blr2_matvec(A2, x))
+    assert np.linalg.norm(y - Adc @ x) / np.linalg.norm(Adc @ x) < 10 * eps
+
+    # memory below the one-level representation at the same epsilon
+    m2 = A2.memory_bytes()
+    A1 = build_blr(gen, tree, epsilon=eps, block_size=80)
+    m1 = (A1.D.size + A1.U.size + A1.V.size) * A1.D.dtype.itemsize
+    assert m2 < m1, (m2, m1)
+
+    F2 = blr2_lu(A2)
+    xs = np.asarray(blr2_solve(F2, Adc @ x))
+    assert np.linalg.norm(xs - x) / np.linalg.norm(x) < 10 * eps
+    # user-numbering round trip
+    xs_u = np.asarray(blr2_solve(F2, Ad @ x, user_numbering=True))
+    assert np.linalg.norm(xs_u - x) / np.linalg.norm(x) < 10 * eps
