@@ -20,6 +20,14 @@ from .hmatrix.block_tree import BlockTreePlan, plan_block_tree
 from .hmatrix.hmatrix import DenseBucket, HMatrix, LowRankBucket
 from .hmatrix.info import hmatrix_info, print_hmatrix_information
 from .hmatrix.linalg import matmat, matmat_user, matvec, matvec_user, to_dense
+from .hmatrix.blr2 import (
+    TwoLevelBLR,
+    blr2_cholesky,
+    blr2_lu,
+    blr2_matvec,
+    blr2_solve,
+    build_blr2,
+)
 from .hmatrix.conversion import (
     cholesky_factorization,
     cholesky_solve,
@@ -28,6 +36,7 @@ from .hmatrix.conversion import (
     lu_solve,
     recompress_hmatrix,
     to_blr,
+    to_blr2,
 )
 
 __version__ = "0.1.0"
@@ -58,6 +67,13 @@ __all__ = [
     "print_hmatrix_information",
     "recompress_hmatrix",
     "to_blr",
+    "to_blr2",
+    "TwoLevelBLR",
+    "build_blr2",
+    "blr2_lu",
+    "blr2_cholesky",
+    "blr2_solve",
+    "blr2_matvec",
     "lu_factorization",
     "lu_solve",
     "cholesky_factorization",

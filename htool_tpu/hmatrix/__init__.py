@@ -26,6 +26,15 @@ from .lr_linalg import (
     scale_lrmat,
 )
 from .blr import BLRMatrix, blr_cholesky, blr_lu, blr_matmul, blr_matvec, blr_solve, build_blr
+from .blr2 import (
+    TwoLevelBLR,
+    blr2_backward_error,
+    blr2_cholesky,
+    blr2_lu,
+    blr2_matvec,
+    blr2_solve,
+    build_blr2,
+)
 from .compressors import (
     batched_full_aca,
     batched_recompress,
@@ -40,4 +49,5 @@ from .conversion import (
     lu_solve,
     recompress_hmatrix,
     to_blr,
+    to_blr2,
 )

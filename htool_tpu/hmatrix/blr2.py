@@ -449,8 +449,28 @@ def build_blr2(
         Up[fsel], Vp[fsel], rank[fsel], failed[fsel] = Uf, Vf, rf, ff
         n_failed = int(failed.sum())
     if n_failed:
-        # last resort: keep the cap-rank approximation, flag it
-        rank[np.nonzero(failed)[0]] = R
+        # last resort — store failed pairs EXACTLY as (block, identity)
+        # factors: the panel analog of the reference's ACA-failure ->
+        # dense fallback (tree_builder.hpp:572-577).  Needs R >= P.
+        if R < P:
+            R2 = int(_pow2(P, 8))
+            Up = np.concatenate([Up, np.zeros((Up.shape[0], P, R2 - R), Up.dtype)], 2)
+            Vp = np.concatenate([Vp, np.zeros((Vp.shape[0], R2 - R, P), Vp.dtype)], 1)
+            R = R2
+        fsel = np.nonzero(failed)[0]
+        for t in fsel:
+            I, J = int(pairs[t, 0]), int(pairs[t, 1])
+            rows = jnp.asarray(_panel_gather_idx(perm, offs, szs, np.array([I]), P), jnp.int32)
+            cols = jnp.asarray(_panel_gather_idx(perm, offs, szs, np.array([J]), P), jnp.int32)
+            blk = np.array(generator.block(rows, cols))[0]
+            sI, sJ = int(szs[I]), int(szs[J])
+            blk[sI:, :] = 0
+            blk[:, sJ:] = 0
+            Up[t] = 0
+            Vp[t] = 0
+            Up[t, :, :sJ] = blk[:, :sJ]
+            Vp[t, :sJ, :sJ] = np.eye(sJ, dtype=Vp.dtype)
+            rank[t] = sJ
 
     pU = np.zeros((nC, nC, P, R), Up.dtype)
     pV = np.zeros((nC, nC, R, P), Vp.dtype)

@@ -32,12 +32,14 @@ import numpy as np
 
 from ..clustering.cluster_tree import ClusterTree
 from .blr import DENSE, LR, ZERO, BLRMatrix, _grid_cells, blr_cholesky, blr_lu, blr_matmul, blr_solve
+from .blr2 import TwoLevelBLR, blr2_cholesky, blr2_lu, blr2_solve
 from .compressors import batched_recompress
 from .hmatrix import HMatrix, LowRankBucket
 
 __all__ = [
     "recompress_hmatrix",
     "to_blr",
+    "to_blr2",
     "lu_factorization",
     "lu_solve",
     "cholesky_factorization",
@@ -294,8 +296,234 @@ def to_blr(
 
 
 # ======================================================================
+# adaptive H  ->  two-level (coarse-panel) BLR
+# ======================================================================
+
+
+def to_blr2(
+    h: HMatrix,
+    tree: ClusterTree,
+    coarse_size: int = 4096,
+    R: Optional[int] = None,
+    epsilon: Optional[float] = None,
+    max_group_elems: int = 1 << 26,
+) -> TwoLevelBLR:
+    """Re-tile an assembled (square, non-restricted) H-matrix onto coarse
+    panels for the hierarchical factorization — no generator re-evaluation.
+
+    Each off-diagonal panel pair stacks the restrictions of every leaf it
+    intersects into one wide low-rank factor (dense leaves enter exactly at
+    rank ``min(m, n)``), then one batched QR+SVD re-truncation per stacked
+    width collapses it to the panel rank.  The diagonal panels are densified
+    (``diag_mode='dense'`` — the fast factorization mode).  This is the
+    conversion feeding ``lu_factorization`` / ``cholesky_factorization``,
+    the counterpart of the reference recursing directly over the assembled
+    tree (``hmatrix/linalg/factorization.hpp:19-79``)."""
+    if h.shape[0] != h.shape[1] or h.t_root_off != 0 or h.s_root_off != 0:
+        raise ValueError("to_blr2 needs a square, non-restricted H-matrix")
+    if h.shape[0] != tree.n_points or not np.array_equal(
+        np.asarray(h.perm_t), tree.permutation
+    ):
+        raise ValueError("tree does not match the H-matrix")
+    if epsilon is None:
+        epsilon = 1e-6
+
+    cells, offs, szs, level = _grid_cells(tree, coarse_size)
+    nC = len(cells)
+    if nC < 2:
+        raise ValueError(
+            f"coarse_size={coarse_size} yields {nC} panel(s); use to_blr"
+        )
+    ends = offs + szs
+    P = max(8, int(-(-int(szs.max()) // 8) * 8))
+    dtype = np.asarray(jnp.zeros((), h.dtype)).dtype
+    itemsize = dtype.itemsize
+    herm = h.symmetry == "H"
+
+    Dd = np.zeros((nC, P, P), dtype)
+    contribs: dict = {}
+
+    def add(ci, cj, item):
+        contribs.setdefault((ci, cj), []).append(item)
+
+    def scatter_block(t_off, t_size, s_off, s_size, get_dense, get_lr, is_lr):
+        ti0 = int(np.searchsorted(offs, t_off, side="right")) - 1
+        ti1 = int(np.searchsorted(offs, t_off + t_size - 1, side="right")) - 1
+        tj0 = int(np.searchsorted(offs, s_off, side="right")) - 1
+        tj1 = int(np.searchsorted(offs, s_off + s_size - 1, side="right")) - 1
+        for ci in range(ti0, ti1 + 1):
+            r_lo = max(t_off, int(offs[ci]))
+            r_hi = min(t_off + t_size, int(ends[ci]))
+            for cj in range(tj0, tj1 + 1):
+                c_lo = max(s_off, int(offs[cj]))
+                c_hi = min(s_off + s_size, int(ends[cj]))
+                sl_r = slice(r_lo - t_off, r_hi - t_off)
+                sl_c = slice(c_lo - s_off, c_hi - s_off)
+                at = (r_lo - int(offs[ci]), c_lo - int(offs[cj]))
+                if ci == cj:
+                    # diagonal panel: densify in place
+                    if is_lr:
+                        Ur, Vr = get_lr(sl_r, sl_c)
+                        blk = np.asarray(Ur @ Vr)
+                    else:
+                        blk = get_dense(sl_r, sl_c)
+                    Dd[ci, at[0] : at[0] + blk.shape[0], at[1] : at[1] + blk.shape[1]] += blk
+                elif is_lr:
+                    add(ci, cj, ("LR", get_lr(sl_r, sl_c), at))
+                else:
+                    add(ci, cj, ("D", get_dense(sl_r, sl_c), at))
+
+    for bk in h.dense_buckets:
+        data = np.asarray(bk.data)
+        t_off = np.asarray(bk.t_off)
+        s_off = np.asarray(bk.s_off)
+        for q in range(bk.n_blocks):
+            ts, ss = int(bk.t_sizes[q]), int(bk.s_sizes[q])
+            blk = data[q, :ts, :ss]
+            scatter_block(int(t_off[q]), ts, int(s_off[q]), ss,
+                          lambda r, c, blk=blk: blk[r, c], None, False)
+            if bk.mirror:
+                mb = np.conj(blk.T) if herm else blk.T
+                scatter_block(int(s_off[q]), ss, int(t_off[q]), ts,
+                              lambda r, c, mb=mb: mb[r, c], None, False)
+
+    for bk in h.lr_buckets:
+        U = np.asarray(bk.U)
+        V = np.asarray(bk.V)
+        t_off = np.asarray(bk.t_off)
+        s_off = np.asarray(bk.s_off)
+        rks = np.asarray(bk.ranks)
+        for q in range(bk.n_blocks):
+            ts, ss, r = int(bk.t_sizes[q]), int(bk.s_sizes[q]), int(rks[q])
+            Uq, Vq = U[q, :ts, :r], V[q, :r, :ss]
+            scatter_block(int(t_off[q]), ts, int(s_off[q]), ss,
+                          None, lambda rr, cc, Uq=Uq, Vq=Vq: (Uq[rr], Vq[:, cc]), True)
+            if bk.mirror:
+                Um = np.conj(Vq.T) if herm else Vq.T
+                Vm = np.conj(Uq.T) if herm else Uq.T
+                scatter_block(int(s_off[q]), ss, int(t_off[q]), ts,
+                              None, lambda rr, cc, Um=Um, Vm=Vm: (Um[rr], Vm[:, cc]), True)
+
+    # identity on diag padding rows (keeps the panel LU well-posed)
+    for I in range(nC):
+        if int(szs[I]) < P:
+            ix = np.arange(int(szs[I]), P)
+            Dd[I, ix, ix] = 1.0
+
+    # ---- stack each off-diagonal pair into one wide factor ----------------
+    def _pow2(n, lo=8):
+        p = lo
+        while p < n:
+            p *= 2
+        return p
+
+    pair_keys = sorted(contribs.keys())
+    widths = {}
+    for key in pair_keys:
+        w = 0
+        for k, p, _ in contribs[key]:
+            w += p[0].shape[1] if k == "LR" else min(p.shape)
+        widths[key] = w
+
+    # group by pow2-padded width; chunk groups to bound device memory
+    groups: dict = {}
+    for key in pair_keys:
+        groups.setdefault(_pow2(max(widths[key], 1)), []).append(key)
+
+    stacked: dict = {}
+    for w_pad, keys in groups.items():
+        per = max(1, max_group_elems // (P * w_pad))
+        for c0 in range(0, len(keys), per):
+            sel = keys[c0 : c0 + per]
+            Us = np.zeros((len(sel), P, w_pad), dtype)
+            Vs = np.zeros((len(sel), w_pad, P), dtype)
+            rk = np.zeros((len(sel),), np.int32)
+            for t, key in enumerate(sel):
+                pos = 0
+                for k, p, (r0, c0_) in contribs[key]:
+                    if k == "LR":
+                        Ur, Vr = p
+                        r = Ur.shape[1]
+                        Us[t, r0 : r0 + Ur.shape[0], pos : pos + r] = Ur
+                        Vs[t, pos : pos + r, c0_ : c0_ + Vr.shape[1]] = Vr
+                    else:
+                        m, n = p.shape
+                        if m <= n:
+                            r = m
+                            Us[t, r0 : r0 + m, pos : pos + m] = np.eye(m, dtype=dtype)
+                            Vs[t, pos : pos + m, c0_ : c0_ + n] = p
+                        else:
+                            r = n
+                            Us[t, r0 : r0 + m, pos : pos + n] = p
+                            Vs[t, pos : pos + n, c0_ : c0_ + n] = np.eye(n, dtype=dtype)
+                    pos += r
+                rk[t] = pos
+            U2, V2, nr = batched_recompress(
+                jnp.asarray(Us), jnp.asarray(Vs), jnp.asarray(rk), epsilon
+            )
+            nr = np.asarray(nr)
+            U2 = np.asarray(U2)
+            V2 = np.asarray(V2)
+            for t, key in enumerate(sel):
+                stacked[key] = (U2[t], V2[t], int(nr[t]))
+
+    rmax = max((r for _, _, r in stacked.values()), default=8)
+    if R is None:
+        R = _pow2(max(8, rmax))
+    R = int(_pow2(max(8, R)))
+    n_capped = sum(1 for _, _, r in stacked.values() if r > R)
+
+    pU = np.zeros((nC, nC, P, R), dtype)
+    pV = np.zeros((nC, nC, R, P), dtype)
+    pRank = np.zeros((nC, nC), np.int32)
+    for (I, J), (Ut, Vt, r) in stacked.items():
+        rc = min(r, R)
+        w = min(R, Ut.shape[1])
+        pU[I, J, :, :w] = Ut[:, :w]
+        pV[I, J, :w, :] = Vt[:w, :]
+        if rc < R:
+            pU[I, J, :, rc:] = 0
+            pV[I, J, rc:, :] = 0
+        pRank[I, J] = rc
+
+    return TwoLevelBLR(
+        n=tree.n_points,
+        panel_off=offs,
+        panel_size=szs,
+        P=P,
+        diag_mode="dense",
+        pU=jnp.asarray(pU),
+        pV=jnp.asarray(pV),
+        pRank=jnp.asarray(pRank),
+        Dd=jnp.asarray(Dd),
+        R=R,
+        epsilon=float(epsilon),
+        permutation=tree.permutation,
+        info=dict(
+            n_panels=nC,
+            coarse_level=level,
+            panel_rank_cap=R,
+            n_rank_capped_pairs=n_capped,
+            from_hmatrix=True,
+        ),
+    )
+
+
+# ======================================================================
 # user-facing factorization surface (factorization.hpp:82-290)
 # ======================================================================
+
+#: problem size above which ``method='auto'`` picks the hierarchical
+#: (two-level) factorization over the flat one-level BLR.
+_BLR2_AUTO_THRESHOLD = 8192
+
+
+def _pick_method(h: HMatrix, method: str) -> str:
+    if method == "auto":
+        return "blr2" if h.shape[0] > _BLR2_AUTO_THRESHOLD else "blr"
+    if method not in ("blr", "blr2"):
+        raise ValueError(f"method must be 'auto', 'blr' or 'blr2', got {method!r}")
+    return method
 
 
 def lu_factorization(
@@ -303,9 +531,19 @@ def lu_factorization(
     tree: ClusterTree,
     epsilon: Optional[float] = None,
     block_size: int = 256,
-) -> BLRMatrix:
+    method: str = "auto",
+    coarse_size: int = 4096,
+):
     """Compressed LU of an assembled H-matrix
-    (reference ``lu_factorization``, ``hmatrix/linalg/factorization.hpp:82``)."""
+    (reference ``lu_factorization``, ``hmatrix/linalg/factorization.hpp:82``).
+
+    ``method='blr'`` factorizes on the flat one-level grid; ``'blr2'`` on
+    coarse panels (hierarchical — the reference's recursive asymptotics);
+    ``'auto'`` picks by problem size.  Returns a factorized
+    :class:`BLRMatrix` or :class:`TwoLevelBLR`; solve with :func:`lu_solve`."""
+    m = _pick_method(h, method)
+    if m == "blr2":
+        return blr2_lu(to_blr2(h, tree, coarse_size=coarse_size, epsilon=epsilon))
     return blr_lu(to_blr(h, tree, block_size=block_size, epsilon=epsilon), epsilon)
 
 
@@ -314,32 +552,41 @@ def cholesky_factorization(
     tree: ClusterTree,
     epsilon: Optional[float] = None,
     block_size: int = 256,
-) -> BLRMatrix:
+    method: str = "auto",
+    coarse_size: int = 4096,
+):
     """Compressed Cholesky of an assembled H-matrix
     (reference ``cholesky_factorization``, ``factorization.hpp:205``)."""
+    m = _pick_method(h, method)
+    if m == "blr2":
+        return blr2_cholesky(to_blr2(h, tree, coarse_size=coarse_size, epsilon=epsilon))
     return blr_cholesky(to_blr(h, tree, block_size=block_size, epsilon=epsilon), epsilon)
 
 
-def lu_solve(F: BLRMatrix, rhs, user_numbering: bool = True, trans: str = "N"):
+def lu_solve(F, rhs, user_numbering: bool = True, trans: str = "N"):
     """Solve op(A) x = rhs with a compressed LU (reference ``lu_solve``,
-    ``factorization.hpp:256``), trans ∈ {'N','T','C'}."""
+    ``factorization.hpp:256``), trans ∈ {'N','T','C'}.  Accepts a factorized
+    :class:`BLRMatrix` or :class:`TwoLevelBLR`."""
     if not (F.factorized and F.kind == "lu"):
-        raise ValueError("lu_solve needs an LU-factorized BLRMatrix")
+        raise ValueError("lu_solve needs an LU-factorized matrix")
     if trans not in ("N", "T", "C"):
         raise ValueError("trans must be 'N', 'T' or 'C'")
+    if isinstance(F, TwoLevelBLR):
+        return blr2_solve(F, rhs, user_numbering=user_numbering, trans=trans)
     return blr_solve(F, rhs, user_numbering=user_numbering, trans=trans)
 
 
-def cholesky_solve(F: BLRMatrix, rhs, user_numbering: bool = True,
-                   UPLO: str = "L"):
+def cholesky_solve(F, rhs, user_numbering: bool = True, UPLO: str = "L"):
     """Solve with a compressed Cholesky (reference ``cholesky_solve``,
     ``factorization.hpp:273``).  Storage is canonical lower (A = L·L^H); the
     UPLO argument mirrors the reference surface — for a hermitian matrix the
     'U' factorization solves the same system, so both values are accepted."""
     if not (F.factorized and F.kind == "chol"):
-        raise ValueError("cholesky_solve needs a Cholesky-factorized BLRMatrix")
+        raise ValueError("cholesky_solve needs a Cholesky-factorized matrix")
     if UPLO not in ("L", "U"):
         raise ValueError("UPLO must be 'L' or 'U'")
+    if isinstance(F, TwoLevelBLR):
+        return blr2_solve(F, rhs, user_numbering=user_numbering)
     return blr_solve(F, rhs, user_numbering=user_numbering)
 
 

@@ -136,6 +136,7 @@ class BLRSchwarzPreconditioner:
         import jax.numpy as jnp
 
         from ..hmatrix.blr import blr_solve
+        from ..hmatrix.blr2 import TwoLevelBLR, blr2_solve
 
         squeeze = r.ndim == 1
         if squeeze:
@@ -143,7 +144,10 @@ class BLRSchwarzPreconditioner:
         z = jnp.zeros_like(r)
         for idx, w, F in zip(self.idx, self.weights, self.factors):
             r_loc = r[jnp.asarray(idx)]
-            z_loc = blr_solve(F, r_loc, user_numbering=True)
+            if isinstance(F, TwoLevelBLR):
+                z_loc = blr2_solve(F, r_loc, user_numbering=True)
+            else:
+                z_loc = blr_solve(F, r_loc, user_numbering=True)
             z = z.at[jnp.asarray(idx)].add(
                 z_loc * jnp.asarray(w)[:, None].astype(z_loc.dtype)
             )
@@ -160,10 +164,13 @@ def _build_blr_schwarz(
     variant: str,
     blr_epsilon: float = 1e-6,
     blr_block_size: int = 256,
+    hierarchical: bool = False,
+    coarse_size: int = 2048,
 ) -> BLRSchwarzPreconditioner:
     from ..clustering.cluster_tree import ClusterTreeBuilder
     from ..generator import SubsetGenerator
     from ..hmatrix.blr import blr_lu, build_blr
+    from ..hmatrix.blr2 import blr2_lu, build_blr2
 
     offs, sizes = tree.partition_offsets_sizes()
     P = tree.n_partitions
@@ -188,10 +195,20 @@ def _build_blr_schwarz(
             max_leaf_size=min(blr_block_size, max(32, idx.size // 8))
         ).build(sub_pts)
         sub_gen = SubsetGenerator(generator, sub_user)
-        B = build_blr(
-            sub_gen, sub_tree, epsilon=blr_epsilon, block_size=blr_block_size
-        )
-        factors.append(blr_lu(B))
+        if hierarchical and idx.size > 2 * coarse_size:
+            # hierarchical local factorization (the reference's H-LU local
+            # solver, local_hmatrix_solvers.hpp:14-85, with recursive
+            # asymptotics via the two-level panel format)
+            B2 = build_blr2(
+                sub_gen, sub_tree, epsilon=blr_epsilon,
+                coarse_size=coarse_size, block_size=blr_block_size,
+            )
+            factors.append(blr2_lu(B2, error_estimate=False))
+        else:
+            B = build_blr(
+                sub_gen, sub_tree, epsilon=blr_epsilon, block_size=blr_block_size
+            )
+            factors.append(blr_lu(B))
         idxs.append(idx)
         wtss.append(w)
     return BLRSchwarzPreconditioner(
@@ -284,9 +301,10 @@ class DDMSolver:
         overlap_radius: float = 0.0,
         coarse=None,  # optional GeneoCoarseSpace
         coarse_correction: str = "additive",
-        local_solver: str = "dense",  # "dense" (LAPACK-style) or "blr" (H-LU-style)
+        local_solver: str = "dense",  # "dense" | "blr" (flat) | "blr2" (hierarchical)
         blr_epsilon: float = 1e-6,
         blr_block_size: int = 256,
+        blr_coarse_size: int = 2048,
     ):
         self.tree = tree
         self.generator = generator
@@ -313,11 +331,13 @@ class DDMSolver:
         if schwarz in ("jacobi", "asm", "ras"):
             if overlap is None and overlap_radius > 0 and schwarz in ("asm", "ras"):
                 overlap = build_geometric_overlap(tree, overlap_radius)
-            if local_solver == "blr":
+            if local_solver in ("blr", "blr2"):
                 self.precond = _build_blr_schwarz(
-                    generator, tree, overlap, schwarz, blr_epsilon, blr_block_size
+                    generator, tree, overlap, schwarz, blr_epsilon,
+                    blr_block_size, hierarchical=(local_solver == "blr2"),
+                    coarse_size=blr_coarse_size,
                 )
-                self.infos["Local_solver"] = "blr"
+                self.infos["Local_solver"] = local_solver
             elif local_solver == "dense":
                 self.precond = _build_schwarz(generator, tree, overlap, schwarz, dtype)
                 self.infos["Local_solver"] = "dense"
