@@ -12,6 +12,19 @@ only flat, static, padded bucket arrays driven by batched einsum/Pallas
 kernels.  See SURVEY.md §7 for the blueprint.
 """
 
+import os as _os
+
+import jax as _jax
+
+# TPU MXUs run f32 dot_general at bf16 input precision by default (~3
+# decimal digits) — that breaks the library's accuracy contract (compression
+# error < epsilon, reference test_hmatrix_build.hpp:191; measured: LU
+# backward error 1e-7 on CPU vs 1.7e-3 on chip).  Full f32 accumulation is
+# the contract; opt out with HTOOL_TPU_DEFAULT_PRECISION=default.
+_prec = _os.environ.get("HTOOL_TPU_DEFAULT_PRECISION", "highest")
+if _prec != "default":
+    _jax.config.update("jax_default_matmul_precision", _prec)
+
 from .clustering.cluster_tree import ClusterTree, ClusterTreeBuilder, build_cluster_tree
 from .generator import Generator, KernelGenerator, MatrixGenerator
 from .hmatrix.aca import batched_partial_aca

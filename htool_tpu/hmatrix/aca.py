@@ -24,11 +24,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from ..utils.precision import precise_jit
 
 __all__ = ["batched_partial_aca"]
 
 
-@partial(jax.jit, static_argnames=("rmax", "reqrank"))
+@partial(precise_jit, static_argnames=("rmax", "reqrank"))
 def batched_partial_aca(
     gen,
     rows,  # [nb, m] int — user-numbering row indices (padded entries clamped)

@@ -24,6 +24,7 @@ from ..generator import Generator, TransposedGenerator
 from .aca import batched_partial_aca
 from .block_tree import BlockTreePlan, plan_block_tree
 from .hmatrix import DenseBucket, HMatrix, LowRankBucket
+from ..utils.precision import precise_jit
 
 __all__ = ["HMatrixBuilder", "build_hmatrix", "assemble_from_plan"]
 
@@ -57,7 +58,7 @@ def _pad_rank(r: int) -> int:
     return p
 
 
-@jax.jit
+@precise_jit
 def _assemble_dense_bucket(gen, rows, cols, t_sizes, s_sizes):
     """rows [nb, bm], cols [nb, bn] (user numbering, padded entries clamped).
     Returns data [nb, bm, bn] with padded rows/cols zeroed."""

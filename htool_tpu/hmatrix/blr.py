@@ -43,6 +43,7 @@ from ..generator import Generator
 from .aca import batched_partial_aca
 from .block_tree import plan_block_tree
 from .compressors import batched_recompress
+from ..utils.precision import precise_jit
 
 __all__ = [
     "BLRMatrix",
@@ -316,13 +317,13 @@ def build_blr(
 # ======================================================================
 
 
-@jax.jit
+@precise_jit
 def _k_lu_diag(D, slot):
     lu, piv = jax.scipy.linalg.lu_factor(D[slot])
     return D.at[slot].set(lu), piv
 
 
-@jax.jit
+@precise_jit
 def _k_col_panel_dense(D, slots, lu_k, piv_k):
     """L_ik = A_ik A_kk^{-1} for dense cells: Xᵀ = solve(A_kkᵀ, A_ikᵀ)."""
     A = D[slots]  # [c, b, b]
@@ -330,7 +331,7 @@ def _k_col_panel_dense(D, slots, lu_k, piv_k):
     return D.at[slots].set(jnp.swapaxes(Xt, 1, 2))
 
 
-@jax.jit
+@precise_jit
 def _k_col_panel_lr(V, slots, lu_k, piv_k):
     """L_ik = U (V A_kk^{-1}) for LR cells: transform V."""
     Vv = V[slots]  # [c, R, b]
@@ -338,7 +339,7 @@ def _k_col_panel_lr(V, slots, lu_k, piv_k):
     return V.at[slots].set(jnp.swapaxes(Xt, 1, 2))
 
 
-@jax.jit
+@precise_jit
 def _k_chol_diag(D, slot):
     """L_kk = chol(A_kk) (lower). Hermitian/real-symmetric positive definite
     diagonal cells only (the potrf path, factorization.hpp:131-205)."""
@@ -346,7 +347,7 @@ def _k_chol_diag(D, slot):
     return D.at[slot].set(L)
 
 
-@jax.jit
+@precise_jit
 def _k_col_panel_dense_chol(D, slots, L_k):
     """L_ik = A_ik L_kk^{-H} for dense cells: X^H = L_kk^{-1} A_ik^H."""
     A = D[slots]  # [c, b, b]
@@ -356,7 +357,7 @@ def _k_col_panel_dense_chol(D, slots, L_k):
     return D.at[slots].set(jnp.conj(jnp.swapaxes(Xh, 1, 2)))
 
 
-@jax.jit
+@precise_jit
 def _k_col_panel_lr_chol(V, slots, L_k):
     """L_ik = U (V L_kk^{-H}) for LR cells: transform V."""
     Vv = V[slots]  # [c, R, b]
@@ -366,14 +367,14 @@ def _k_col_panel_lr_chol(V, slots, L_k):
     return V.at[slots].set(jnp.conj(jnp.swapaxes(Xh, 1, 2)))
 
 
-@jax.jit
+@precise_jit
 def _k_densify(D, dslots, U, V, lslots):
     """Materialize LR cells into dense slots (class upgrade)."""
     blk = jnp.einsum("cbr,crn->cbn", U[lslots], V[lslots])
     return D.at[dslots].set(blk)
 
 
-@partial(jax.jit, static_argnames=("Rh", "herm_b", "neg"))
+@partial(precise_jit, static_argnames=("Rh", "herm_b", "neg"))
 def _k_schur_dense_target(
     Da, Ua, Va, Db, Ub, Vb, Dt,
     ia_cls, ia_slot, jb_cls, jb_slot, t_slot, Rh, herm_b=False, neg=True,
@@ -418,7 +419,7 @@ def _k_schur_dense_target(
     return Dt.at[t_slot].add(-contrib if neg else contrib)
 
 
-@partial(jax.jit, static_argnames=("Rh", "herm_b", "neg"))
+@partial(precise_jit, static_argnames=("Rh", "herm_b", "neg"))
 def _k_schur_lr_target(
     Da, Ua, Va, Db, Ub, Vb, Ut, Vt, ranks_t, ranks_a, ranks_b,
     ia_cls, ia_slot, jb_cls, jb_slot, t_slot, Rh, herm_b=False, neg=True,
@@ -487,7 +488,7 @@ def _k_schur_lr_target(
     return Ut, Vt, ranks_t
 
 
-@partial(jax.jit, static_argnames=("Rh",))
+@partial(precise_jit, static_argnames=("Rh",))
 def _k_recompress(U, V, ranks, slots, epsilon, Rh, capped=None):
     """Batched epsilon-truncation of touched LR cells, capped at R_half.
 
@@ -950,7 +951,7 @@ def blr_cholesky(A: BLRMatrix, epsilon: Optional[float] = None,
 # ======================================================================
 
 
-@partial(jax.jit, static_argnames=("Rh", "t_cells", "c_cells", "diag"))
+@partial(precise_jit, static_argnames=("Rh", "t_cells", "c_cells", "diag"))
 def _k_block_sweep(D, U, V, piv_g, y, order, dsl, dj, lsl, lj, dgs,
                    Rh, t_cells, c_cells, diag):
     """Generic block-triangular sweep as ONE ``lax.scan`` over block rows —
@@ -1205,7 +1206,7 @@ def blr_triangular_solve(F: BLRMatrix, B, which: str = "L", side: str = "L",
     return out[:, 0] if squeeze else out
 
 
-@partial(jax.jit, static_argnames=("Rh",))
+@partial(precise_jit, static_argnames=("Rh",))
 def _k_blr_matvec(D, U, V, xc, d_i, d_j, d_slot, l_i, l_j, l_slot, Rh):
     """All-cells batched y = A x: two einsums + two scatter-adds."""
     yc = jnp.zeros_like(xc)

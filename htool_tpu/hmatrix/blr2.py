@@ -62,6 +62,7 @@ from .blr import (
     blr_triangular_solve,
 )
 from .compressors import batched_recompress
+from ..utils.precision import precise_jit
 
 __all__ = [
     "TwoLevelBLR",
@@ -192,7 +193,7 @@ def _panel_gather_idx(perm, offs, szs, sel, P):
     return perm[offs[sel][:, None] + rel]
 
 
-@partial(jax.jit, static_argnames=("R",))
+@partial(precise_jit, static_argnames=("R",))
 def _k2_mask_factors(U, V, rank, R):
     keep = jnp.arange(R)[None, :] < rank[:, None]
     return (
@@ -517,20 +518,20 @@ def build_blr2(
 # ======================================================================
 
 
-@jax.jit
+@precise_jit
 def _k2_lu_diag(Dd, k):
     """LU of diagonal panel k; returns (Dd with LU stored, row perm [P])."""
     lu, _, p = jax.lax.linalg.lu(Dd[k])
     return Dd.at[k].set(lu), p
 
 
-@jax.jit
+@precise_jit
 def _k2_chol_diag(Dd, k):
     L = jnp.linalg.cholesky(Dd[k])
     return Dd.at[k].set(L)
 
 
-@jax.jit
+@precise_jit
 def _k2_col_panel(pV, Dd, k, idxI):
     """V_IK <- V_IK · U_K^{-1} for the stacked active rows I (LU path)."""
     Uk = Dd[k]
@@ -541,7 +542,7 @@ def _k2_col_panel(pV, Dd, k, idxI):
     return pV.at[idxI, k].set(jnp.swapaxes(Xt, 1, 2))
 
 
-@jax.jit
+@precise_jit
 def _k2_row_panel(pU, Dd, perm_k, k, idxJ):
     """U_KJ <- L_K^{-1} · P_K^T · U_KJ for the stacked active cols J."""
     Lk = Dd[k]
@@ -554,7 +555,7 @@ def _k2_row_panel(pU, Dd, perm_k, k, idxJ):
     return pU.at[k, idxJ].set(X)
 
 
-@jax.jit
+@precise_jit
 def _k2_col_panel_chol(pV, Dd, k, idxI):
     """V_IK <- V_IK · L_K^{-H} (Cholesky path)."""
     Lk = Dd[k]
@@ -565,7 +566,7 @@ def _k2_col_panel_chol(pV, Dd, k, idxI):
     return pV.at[idxI, k].set(jnp.conj(jnp.swapaxes(Xh, 1, 2)))
 
 
-@partial(jax.jit, static_argnames=("herm",))
+@partial(precise_jit, static_argnames=("herm",))
 def _k2_schur_offdiag(pU, pV, pRank, k, pi, pj, eps, capped, herm=False):
     """Fused Schur update + re-truncation on active off-diagonal pairs:
     ``A_IJ -= (U_IK V_IK)(U_KJ V_KJ)`` (or ``(U_JK V_JK)^H`` when ``herm``),
@@ -599,7 +600,7 @@ def _k2_schur_offdiag(pU, pV, pRank, k, pi, pj, eps, capped, herm=False):
     return pU, pV, pRank, capped
 
 
-@partial(jax.jit, static_argnames=("herm",))
+@partial(precise_jit, static_argnames=("herm",))
 def _k2_schur_diag_dense(Dd, pU, pV, k, idxI, valid, herm=False):
     """Dense diagonal absorption: ``D_I -= (U_IK V_IK)(U_KI V_KI)``.
 
@@ -619,7 +620,7 @@ def _k2_schur_diag_dense(Dd, pU, pV, k, idxI, valid, herm=False):
     return Dd.at[idxI].add(-contrib)
 
 
-@partial(jax.jit, static_argnames=("herm",))
+@partial(precise_jit, static_argnames=("herm",))
 def _k2_pending_append(peU, peV, peRank, k, idxI, pU, pV, eps, herm=False):
     """BLR-diag mode: append the step-k diagonal Schur contribution of the
     active panels to their pending low-rank update, re-truncated."""
@@ -707,7 +708,11 @@ def _factorize(A: TwoLevelBLR, eps: float, kind: str,
     t0 = time.perf_counter()
     pU, pV, pRank = A.pU, A.pV, A.pRank
     capped = jnp.zeros((nC, nC), jnp.int32)
-    eps_arr = jnp.asarray(eps, np.asarray(jnp.zeros((), A.pU.dtype)).real.dtype)
+    # per-step truncation error accumulates over the nC elimination steps
+    # (measured: backward error ~ nC*eps when truncating at eps), so
+    # intermediates truncate at eps/nC to land the FACTORIZATION at ~eps
+    eps_int = eps / max(1, nC)
+    eps_arr = jnp.asarray(eps_int, np.asarray(jnp.zeros((), A.pU.dtype)).real.dtype)
 
     if A.diag_mode == "dense":
         Dd = A.Dd
@@ -735,11 +740,11 @@ def _factorize(A: TwoLevelBLR, eps: float, kind: str,
                 perms = perms.at[K].set(perm_k)
         else:
             if K > 0:
-                diag[K] = _blr_apply_pending(diag[K], peU[K], peV[K], eps)
+                diag[K] = _blr_apply_pending(diag[K], peU[K], peV[K], eps_int)
             diag[K] = (
-                blr_cholesky(diag[K], eps, auto_escalate=0, error_estimate=False)
+                blr_cholesky(diag[K], eps_int, auto_escalate=0, error_estimate=False)
                 if herm
-                else blr_lu(diag[K], eps, auto_escalate=0, error_estimate=False)
+                else blr_lu(diag[K], eps_int, auto_escalate=0, error_estimate=False)
             )
 
         if act.size == 0:
@@ -864,7 +869,7 @@ def blr2_cholesky(A: TwoLevelBLR, epsilon: Optional[float] = None,
 # ======================================================================
 
 
-@jax.jit
+@precise_jit
 def _k2_solve_fwd_lu(Dd, perms, pU, pV, b):
     """Forward panel sweep y_K = L_K^{-1} P_K^T (b_K - Σ_{J<K} L_KJ y_J),
     one lax.scan over panels (dense-diag LU)."""
@@ -887,7 +892,7 @@ def _k2_solve_fwd_lu(Dd, perms, pU, pV, b):
     return y
 
 
-@jax.jit
+@precise_jit
 def _k2_solve_bwd_lu(Dd, pU, pV, y):
     """Backward sweep x_K = U_K^{-1} (y_K - Σ_{J>K} U_KJ x_J)."""
     nC = Dd.shape[0]
@@ -907,7 +912,7 @@ def _k2_solve_bwd_lu(Dd, pU, pV, y):
     return x
 
 
-@jax.jit
+@precise_jit
 def _k2_solve_fwd_chol(Dd, pU, pV, b):
     nC = Dd.shape[0]
 
@@ -925,7 +930,7 @@ def _k2_solve_fwd_chol(Dd, pU, pV, b):
     return y
 
 
-@jax.jit
+@precise_jit
 def _k2_solve_bwd_chol(Dd, pU, pV, y):
     """x_K = L_K^{-H} (y_K - Σ_{J>K} L_JK^H x_J)."""
     nC = Dd.shape[0]
@@ -1036,7 +1041,7 @@ def blr2_solve(F: TwoLevelBLR, rhs, user_numbering: bool = False,
 # ======================================================================
 
 
-@jax.jit
+@precise_jit
 def _k2_matvec(pU, pV, xc):
     """Off-diagonal panel product: y_I += Σ_J U_IJ (V_IJ x_J)."""
     t = jnp.einsum("ijrq,jqk->ijrk", pV, xc)

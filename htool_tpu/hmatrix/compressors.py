@@ -22,6 +22,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from ..utils.precision import precise_jit
 
 __all__ = [
     "batched_full_aca",
@@ -37,7 +38,7 @@ def _masks(nb, m, n, t_sizes, s_sizes):
     return row, col
 
 
-@partial(jax.jit, static_argnames=("rmax", "reqrank"))
+@partial(precise_jit, static_argnames=("rmax", "reqrank"))
 def batched_full_aca(gen, rows, cols, t_sizes, s_sizes, epsilon, rmax, reqrank=-1):
     """Full-pivot ACA on assembled blocks (fullACA.hpp:16-89).
 
@@ -132,7 +133,7 @@ def svd_truncation_rank(s, epsilon):
     return jnp.sum(keep, axis=1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("rmax", "reqrank"))
+@partial(precise_jit, static_argnames=("rmax", "reqrank"))
 def batched_svd_compress(gen, rows, cols, t_sizes, s_sizes, epsilon, rmax, reqrank=-1):
     """Truncated-SVD compressor (SVD.hpp:15-93): assemble, SVD, keep the
     epsilon-rank (or reqrank).  Returns (U, V, rank, failed)."""
@@ -172,7 +173,7 @@ def batched_svd_compress(gen, rows, cols, t_sizes, s_sizes, epsilon, rmax, reqra
     return U, V, rank, failed
 
 
-@jax.jit
+@precise_jit
 def batched_recompress(U, V, ranks, epsilon):
     """SVD recompression of stacked LR factors
     (SVD_recompression.hpp:18-181): QR(U), LQ(V), SVD of R_U·R_Vᵀ, truncate

@@ -33,6 +33,7 @@ from ..ops.tiled_matvec import (
     tiled_matvec_ok,
 )
 from .hmatrix import DenseBucket, HMatrix, LowRankBucket
+from ..utils.precision import precise_jit
 
 __all__ = [
     "matvec",
@@ -166,7 +167,7 @@ def _bucket_terms(bucket, op: str, symmetry: str):
     return terms
 
 
-@partial(jax.jit, static_argnames=("op",))
+@partial(precise_jit, static_argnames=("op",))
 def matvec(h: HMatrix, x, op: str = "N"):
     """Product in cluster numbering: ``op(H) @ x``.
 

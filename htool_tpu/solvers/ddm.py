@@ -34,6 +34,7 @@ import numpy as np
 from ..clustering.cluster_tree import ClusterTree
 from ..generator import Generator
 from .krylov import KrylovResult, cg, gmres
+from ..utils.precision import precise_jit
 
 __all__ = [
     "build_geometric_overlap",
@@ -101,7 +102,7 @@ class SchwarzPreconditioner:
         return self.apply(r)
 
 
-@jax.jit
+@precise_jit
 def _schwarz_apply(idx, weights, lu, piv, r):
     k = r.shape[1]
     N = r.shape[0]

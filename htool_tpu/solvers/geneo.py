@@ -32,6 +32,7 @@ import numpy as np
 
 from ..clustering.cluster_tree import ClusterTree
 from ..generator import Generator
+from ..utils.precision import precise_jit
 
 __all__ = ["GeneoCoarseSpace", "build_geneo_coarse_space"]
 
@@ -84,7 +85,7 @@ class GeneoCoarseSpace:
         return M
 
 
-@jax.jit
+@precise_jit
 def _k_geneo_eigh(DAiD, Bi):
     """Batched hermitian-definite generalized EVP over padded subdomains:
     Cholesky-transform Bᵢ = Lᵢ Lᵢ^H, solve the standard EVP on

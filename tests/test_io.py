@@ -89,3 +89,31 @@ def test_save_levels_and_dot(tmp_path):
     assert lines[0].startswith("block_extent") and len(lines) > 1
     dot = view_block_tree(H, str(tmp_path / "bt.dot"))
     assert dot.startswith("digraph") and "palegreen" in dot and "lightcoral" in dot
+
+
+def test_save_load_with_tile_plans(tmp_path):
+    """Tiled-product plans ride through save/load so a reloaded matrix
+    skips plan preparation (BENCH tiled_prepare amortized to zero)."""
+    import numpy as np
+
+    import htool_tpu as ht
+    from htool_tpu.hmatrix.linalg import matvec, prepare_tiled_matvec
+    from htool_tpu.hmatrix.output import load_hmatrix, save_hmatrix
+    from htool_tpu.testing import create_sphere, laplace_kernel_symmetric
+
+    pts = create_sphere(1500)
+    gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=64)
+    H = ht.build_hmatrix(gen, tree, epsilon=1e-6, eta=10.0)
+    prepare_tiled_matvec(H)
+    x = np.random.RandomState(0).randn(1500, 2)
+    y0 = np.asarray(matvec(H, x))
+
+    f = str(tmp_path / "h_with_plans.npz")
+    save_hmatrix(H, f)
+    H2 = load_hmatrix(f)
+    for b in H2.dense_buckets + H2.lr_buckets:
+        assert getattr(b, "plan_t", None) is not None
+        assert getattr(b, "plan_s", None) is not None
+    y1 = np.asarray(matvec(H2, x))
+    assert np.allclose(y0, y1)
