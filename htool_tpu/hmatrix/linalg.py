@@ -28,7 +28,10 @@ from ..ops.bucket_matvec import (
     pallas_matvec_ok,
 )
 from ..ops.tiled_matvec import (
+    ComplexPlans,
+    apply_complex_plans,
     build_tile_plan,
+    complex_plans_ok,
     tiled_bucket_matvec,
     tiled_matvec_ok,
 )
@@ -65,13 +68,23 @@ def prepare_tiled_matvec(h: HMatrix, tile_rows: int = 4096) -> HMatrix:
     to BASELINE scales.  Wide low-rank buckets whose one-shot plan would
     bust VMEM get the split two-stage plan (t = V·x then y += U·t).  Call
     OUTSIDE jit, once, after assembly."""
-    from ..ops.tiled_matvec import build_tile_plan_lr_split
+    from ..ops.tiled_matvec import build_tile_plan_complex, build_tile_plan_lr_split
 
     if not isinstance(h.t_root_off, int) or h.t_root_off != 0:
         raise ValueError("tiled plans require a global (non-restricted) H-matrix")
     pad_in = _pad_in_of(h)
     m, n = h.shape
     ref_dtype = jnp.float32  # lanes(k) is constant for k <= 128
+
+    if jnp.issubdtype(h.dtype, jnp.complexfloating):
+        # complex fast path: real/imag plane plans (Mosaic has no complex or
+        # f64 support, so only complex64 gets plans; complex128 stays on XLA)
+        if h.dtype != jnp.complex64:
+            return h
+        for bucket in h.dense_buckets + h.lr_buckets:
+            bucket.plan_t = build_tile_plan_complex(bucket, "t", m + pad_in, tile_rows)
+            bucket.plan_s = build_tile_plan_complex(bucket, "s", n + pad_in, tile_rows)
+        return h
 
     def make(bucket, side, out_len, is_lr):
         plan = build_tile_plan(bucket, side, out_len, tile_rows)
@@ -227,6 +240,19 @@ def matvec(h: HMatrix, x, op: str = "N"):
             # TILED kernel (ops/tiled_matvec.py) is preferred at every scale
             # (2-3x faster than the resident kernels even at n=10k); the
             # resident kernels remain for un-prepared matrices that fit VMEM.
+            if dtype == jnp.complex64:
+                # complex fast path: re/im plane plans with [Re(x)|Im(x)]
+                # RHS stacking — each plane read once, ideal 2x-of-real
+                plan = bucket.plan_t if out_side == "t" else bucket.plan_s
+                if isinstance(plan, ComplexPlans) and plan.out_plan.out_len == y_pad.shape[0] and complex_plans_ok(
+                    plan, x_pad.shape[1], jnp.float32
+                ):
+                    sigma = -1.0 if mode in ("C", "conj") else 1.0
+                    yb = apply_complex_plans(
+                        plan, x_pad, sigma, x_pad.shape[1], jnp.float32
+                    )
+                    y_pad = y_pad + yb.astype(dtype)
+                    continue
             if not jnp.issubdtype(dtype, jnp.complexfloating):
                 plan = bucket.plan_t if out_side == "t" else bucket.plan_s
                 if isinstance(plan, tuple):

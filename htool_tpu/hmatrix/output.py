@@ -143,10 +143,17 @@ def _pack_bucket_plans(payload: dict, prefix: str, bucket) -> None:
     """Persist the bucket's attached tiled plans (plan_t / plan_s; each a
     TilePlan or a (stageA, stageB) split pair) so a reloaded matrix skips
     plan preparation entirely (BENCH tiled_prepare_s -> 0 on reload)."""
+    from ..ops.tiled_matvec import ComplexPlans
+
     for side in ("t", "s"):
         plan = getattr(bucket, f"plan_{side}", None)
         if plan is None:
             payload[f"{prefix}_plan_{side}_n"] = np.array([0])
+        elif isinstance(plan, ComplexPlans):
+            # encode as negative count; kind recovered from plan count
+            payload[f"{prefix}_plan_{side}_n"] = np.array([-len(plan.plans)])
+            for i, p in enumerate(plan.plans):
+                _pack_plan(payload, f"{prefix}_plan_{side}{i}", p)
         elif isinstance(plan, tuple):
             payload[f"{prefix}_plan_{side}_n"] = np.array([len(plan)])
             for i, p in enumerate(plan):
@@ -157,13 +164,21 @@ def _pack_bucket_plans(payload: dict, prefix: str, bucket) -> None:
 
 
 def _unpack_bucket_plans(z, prefix: str, bucket) -> None:
+    from ..ops.tiled_matvec import ComplexPlans
+
     for side in ("t", "s"):
         key = f"{prefix}_plan_{side}_n"
         n = int(z[key][0]) if key in z else 0
         if n == 0:
             continue
-        plans = tuple(_unpack_plan(z, f"{prefix}_plan_{side}{i}") for i in range(n))
-        setattr(bucket, f"plan_{side}", plans if n > 1 else plans[0])
+        plans = tuple(
+            _unpack_plan(z, f"{prefix}_plan_{side}{i}") for i in range(abs(n))
+        )
+        if n < 0:
+            plan = ComplexPlans("cdense" if n == -2 else "clr", plans)
+        else:
+            plan = plans if n > 1 else plans[0]
+        setattr(bucket, f"plan_{side}", plan)
 
 
 def save_hmatrix(h: HMatrix, filename: str, include_plans: bool = True) -> None:

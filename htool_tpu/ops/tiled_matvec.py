@@ -28,7 +28,15 @@ import numpy as np
 
 from .bucket_matvec import _VMEM_BUDGET, _interpret, _lanes
 
-__all__ = ["TilePlan", "build_tile_plan", "tiled_bucket_matvec", "tiled_matvec_ok"]
+__all__ = [
+    "TilePlan",
+    "build_tile_plan",
+    "build_tile_plan_complex",
+    "apply_complex_plans",
+    "complex_plans_ok",
+    "tiled_bucket_matvec",
+    "tiled_matvec_ok",
+]
 
 _TILE_ROWS = 2048  # output tile height (rows); VMEM cost 2*(T+E)*lanes(k)*item
 _GROUP_MAX = 32  # Element-indexed x windows per step (one BlockSpec each)
@@ -216,6 +224,120 @@ class _DenseStand:
     @property
     def block_shape(self):
         return (int(self.data.shape[1]), int(self.data.shape[2]))
+
+
+@dataclass
+class ComplexPlans:
+    """Pytree-safe pack of real-plane tile plans for one complex orientation.
+
+    ``kind`` ('cdense' | 'clr') is aux data so the pack can ride through a
+    jitted product as an argument."""
+
+    kind: str
+    plans: tuple  # (re, im) for cdense; (Ar, Ai, Br, Bi) for clr
+
+    @property
+    def out_plan(self):
+        return self.plans[0] if self.kind == "cdense" else self.plans[2]
+
+
+jax.tree_util.register_pytree_node(
+    ComplexPlans,
+    lambda p: (p.plans, p.kind),
+    lambda kind, plans: ComplexPlans(kind, tuple(plans)),
+)
+
+
+def build_tile_plan_complex(bucket, out_side: str, out_len: int,
+                            tile_rows: int = _TILE_ROWS):
+    """Complex fast path: real/imaginary PLANE plans for one orientation.
+
+    A complex product splits into 4 real products; stacking [Re(x), Im(x)]
+    on the RHS axis lets each real plane be read ONCE per application, so
+    the traffic equals the complex data volume — the ideal 2x of the real
+    row (the reference's complex kernels are first-class,
+    ``testing/generator_test.hpp:163-205``).  Dense buckets return
+    ``("cdense", plan_re, plan_im)``; low-rank buckets stage through the
+    split two-stage structure and return
+    ``("clr", planA_re, planA_im, planB_re, planB_im)`` where stage A is
+    the V-contraction into the staging vector and stage B the U-expansion
+    (recombination between stages happens on the small staging vector)."""
+    is_dense = getattr(bucket, "data", None) is not None
+    trans = out_side == "s"
+    if is_dense:
+        t_off = np.asarray(bucket.t_off, np.int64)
+        s_off = np.asarray(bucket.s_off, np.int64)
+        pre = build_tile_plan(
+            _DenseStand(jnp.real(bucket.data), t_off, s_off), out_side,
+            out_len, tile_rows)
+        pim = build_tile_plan(
+            _DenseStand(jnp.imag(bucket.data), t_off, s_off), out_side,
+            out_len, tile_rows)
+        return ComplexPlans("cdense", (pre, pim))
+
+    bm, bn = bucket.block_shape
+    r = bucket.rank_padded
+    r_pad = max(8, -(-r // 8) * 8)
+    nb = int(np.asarray(bucket.t_off).shape[0])
+    if not trans:
+        dataA = bucket.V  # [nb, r, bn] contract bn
+        x_off = bucket.s_off
+        dataB = jnp.swapaxes(bucket.U, 1, 2)  # [nb, r, bm]
+        y_off = bucket.t_off
+    else:
+        dataA = jnp.swapaxes(bucket.U, 1, 2)
+        x_off = bucket.t_off
+        dataB = bucket.V
+        y_off = bucket.s_off
+    if r_pad != r:
+        dataA = jnp.pad(dataA, ((0, 0), (0, r_pad - r), (0, 0)))
+        dataB = jnp.pad(dataB, ((0, 0), (0, r_pad - r), (0, 0)))
+    mid_off = np.arange(nb, dtype=np.int64) * r_pad
+    mid_len = nb * r_pad + 16
+    x_off = np.asarray(x_off, np.int64)
+    y_off = np.asarray(y_off, np.int64)
+    pAr = build_tile_plan(_DenseStand(jnp.real(dataA), mid_off, x_off), "t", mid_len, tile_rows)
+    pAi = build_tile_plan(_DenseStand(jnp.imag(dataA), mid_off, x_off), "t", mid_len, tile_rows)
+    pBr = build_tile_plan(_DenseStand(jnp.real(dataB), mid_off, y_off), "s", out_len, tile_rows)
+    pBi = build_tile_plan(_DenseStand(jnp.imag(dataB), mid_off, y_off), "s", out_len, tile_rows)
+    return ComplexPlans("clr", (pAr, pAi, pBr, pBi))
+
+
+def apply_complex_plans(plan_pack, x_pad, sigma: float, k: int, real_dtype):
+    """Apply a complex plan pack to ``x2 = [Re(x) | Im(x)]`` columns.
+
+    ``sigma`` = -1 flips the imaginary plane (conjugated modes 'C'/'conj';
+    transposition is baked into the plans).  Returns complex [out_len, k]."""
+    x2 = jnp.concatenate(
+        [jnp.real(x_pad).astype(real_dtype), jnp.imag(x_pad).astype(real_dtype)],
+        axis=1,
+    )
+
+    def combine(Y1, Y2):
+        yr = Y1[:, :k] - sigma * Y2[:, k:]
+        yi = sigma * Y2[:, :k] + Y1[:, k:]
+        return yr, yi
+
+    if plan_pack.kind == "cdense":
+        pre, pim = plan_pack.plans
+        Y1 = tiled_bucket_matvec(pre, x2, real_dtype)
+        Y2 = tiled_bucket_matvec(pim, x2, real_dtype)
+        yr, yi = combine(Y1, Y2)
+        return yr + 1j * yi
+    pAr, pAi, pBr, pBi = plan_pack.plans
+    T1 = tiled_bucket_matvec(pAr, x2, real_dtype)
+    T2 = tiled_bucket_matvec(pAi, x2, real_dtype)
+    sr, si = combine(T1, T2)
+    s2 = jnp.concatenate([sr, si], axis=1)
+    Y1 = tiled_bucket_matvec(pBr, s2, real_dtype)
+    Y2 = tiled_bucket_matvec(pBi, s2, real_dtype)
+    yr, yi = combine(Y1, Y2)
+    return yr + 1j * yi
+
+
+def complex_plans_ok(plan_pack, k: int, real_dtype) -> bool:
+    """All member plans of a complex pack fit the kernel gate at 2k RHS."""
+    return all(tiled_matvec_ok(real_dtype, 2 * k, p) for p in plan_pack.plans)
 
 
 def tiled_matvec_ok(dtype, k: int, plan: TilePlan) -> bool:

@@ -51,6 +51,7 @@ def test_blr_matvec():
 
 
 @pytest.mark.parametrize("nrhs", [1, 3])
+@pytest.mark.slow
 def test_blr_lu_solve(nrhs):
     B, Ac = build_case()
     F = blr_lu(B)
@@ -96,6 +97,7 @@ def test_blr_cholesky_grid_laplacian(nrhs):
     assert np.linalg.norm(sol - x) / np.linalg.norm(x) < 1e-6
 
 
+@pytest.mark.slow
 def test_blr_cholesky_kernel_spd():
     """Dense-structured SPD: shifted Laplace kernel matrix on a sphere."""
     n = 800
@@ -153,6 +155,7 @@ def test_blr_solve_user_numbering():
     assert np.linalg.norm(sol - x) / np.linalg.norm(x) < 1e-5
 
 
+@pytest.mark.slow
 def test_ddm_with_blr_local_solver():
     """RAS preconditioner with BLR-factorized subdomain solves (the H-LU
     local solver mode of the reference DDM)."""
@@ -183,6 +186,7 @@ def test_ddm_with_blr_local_solver():
     assert abs(infos["Nb_it"] - infos2["Nb_it"]) <= 2
 
 
+@pytest.mark.slow
 def test_factorization_accuracy_guard():
     """Rank-cap detection + auto-escalation + backward-error estimate
     (the accuracy guard over the silent R_half truncation in the Schur
@@ -204,10 +208,11 @@ def test_factorization_accuracy_guard():
     assert "backward_error_est" in F1.info
 
 
+@pytest.mark.slow
 def test_two_level_blr_lu():
-    """Two-level panel factorization prototype (blr2): BLR diagonal panels +
+    """Two-level panel factorization (blr2): BLR diagonal panels +
     panel-level low-rank off-diagonals — memory below one-level BLR at
-    equal accuracy, solve error ~epsilon (toward factorization.hpp:19-79
+    equal accuracy, solve error ~epsilon (factorization.hpp:19-79
     asymptotics)."""
     from htool_tpu.hmatrix.blr2 import (
         blr2_lu,
@@ -222,7 +227,7 @@ def test_two_level_blr_lu():
     gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
     eps = 1e-6
     A2 = build_blr2(gen, tree, epsilon=eps, coarse_size=800, block_size=80,
-                    panel_rank_cap=512)
+                    diag_mode="blr")
     Ad = np.asarray(gen.to_dense())
     Pm = tree.permutation
     Adc = Ad[np.ix_(Pm, Pm)]

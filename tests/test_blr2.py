@@ -24,6 +24,9 @@ from htool_tpu.testing import (
     laplace_kernel_symmetric,
 )
 
+# full grids / large n: default CI tier skips these (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _case(kernel, n=900, dtype=None):
     pts = create_sphere(n)

@@ -60,6 +60,7 @@ def test_to_blr_hermitian():
 
 
 @pytest.mark.parametrize("nrhs", [1, 3])
+@pytest.mark.slow
 def test_lu_factorization_of_assembled_h(nrhs):
     H, tree, Ac = build_case()
     F = ht.lu_factorization(H, tree, epsilon=1e-7, block_size=80)

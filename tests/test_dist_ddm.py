@@ -19,6 +19,9 @@ from htool_tpu.solvers import (
 )
 from htool_tpu.testing import create_sphere, grid_laplacian, laplace_kernel_symmetric
 
+# full grids / large n: default CI tier skips these (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 TOL = 1e-6
 
 

@@ -14,6 +14,9 @@ from htool_tpu.testing import (
     laplace_kernel_symmetric,
 )
 
+# full grids / large n: default CI tier skips these (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 EPS = 1e-5
 
 

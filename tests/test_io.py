@@ -2,6 +2,7 @@
 save/read), H-matrix structure dump, H-matrix npz round trip."""
 
 import numpy as np
+import pytest
 
 import htool_tpu as ht
 from htool_tpu.clustering.io import (
@@ -91,6 +92,7 @@ def test_save_levels_and_dot(tmp_path):
     assert dot.startswith("digraph") and "palegreen" in dot and "lightcoral" in dot
 
 
+@pytest.mark.slow
 def test_save_load_with_tile_plans(tmp_path):
     """Tiled-product plans ride through save/load so a reloaded matrix
     skips plan preparation (BENCH tiled_prepare amortized to zero)."""

@@ -12,6 +12,9 @@ import pytest
 import htool_tpu as ht
 from htool_tpu.testing import create_sphere, laplace_kernel_symmetric
 
+# full grids / large n: default CI tier skips these (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def pallas_interpret(monkeypatch):
@@ -140,3 +143,54 @@ def test_tiled_matvec_multi_rhs_and_single(pallas_interpret, monkeypatch):
     x1 = rng.randn(n).astype(np.float32)
     got1 = np.asarray(H @ x1)
     assert np.linalg.norm(got1 - A @ x1) / np.linalg.norm(A @ x1) < 1e-5
+
+
+def test_tiled_complex_matvec_matches_dense(pallas_interpret):
+    """Complex64 fast path: re/im plane plans with RHS stacking vs the dense
+    oracle, ops N/T/C and hermitian mirror storage (the reference's complex
+    kernels are first-class, generator_test.hpp:163-205)."""
+    import jax.numpy as jnp
+
+    from htool_tpu.hmatrix.linalg import matvec_user, prepare_tiled_matvec
+    from htool_tpu.testing import laplace_kernel_complex_symmetric
+
+    n = 1200
+    pts = create_sphere(n)
+    gen = ht.KernelGenerator(
+        laplace_kernel_complex_symmetric, pts, pts, dtype=jnp.complex64
+    )
+    tree = ht.build_cluster_tree(pts, max_leaf_size=64)
+    H = ht.build_hmatrix(gen, tree, epsilon=1e-5, eta=10.0)
+    prepare_tiled_matvec(H)
+    from htool_tpu.ops.tiled_matvec import ComplexPlans
+
+    for b in H.dense_buckets + H.lr_buckets:
+        assert isinstance(b.plan_t, ComplexPlans)
+
+    A = H.to_dense()
+    rng = np.random.RandomState(7)
+    x = (rng.randn(n, 3) + 1j * rng.randn(n, 3)).astype(np.complex64)
+    for op, ref in (("N", A @ x), ("T", A.T @ x), ("C", A.conj().T @ x)):
+        got = np.asarray(matvec_user(H, x, op=op))
+        err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert err < 1e-4, (op, err)
+
+
+def test_tiled_complex_hermitian_mirror(pallas_interpret):
+    import jax.numpy as jnp
+
+    from htool_tpu.hmatrix.linalg import matvec_user, prepare_tiled_matvec
+    from htool_tpu.testing import laplace_kernel_hermitian
+
+    n = 1200
+    pts = create_sphere(n)
+    gen = ht.KernelGenerator(laplace_kernel_hermitian, pts, pts, dtype=jnp.complex64)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=64)
+    H = ht.build_hmatrix(gen, tree, epsilon=1e-5, eta=10.0, symmetry="H", UPLO="L")
+    prepare_tiled_matvec(H)
+    A = H.to_dense()
+    rng = np.random.RandomState(3)
+    x = (rng.randn(n, 2) + 1j * rng.randn(n, 2)).astype(np.complex64)
+    got = np.asarray(matvec_user(H, x))
+    err = np.linalg.norm(got - A @ x) / np.linalg.norm(A @ x)
+    assert err < 1e-4, err

@@ -70,6 +70,7 @@ def test_kernel_matrix_solve():
     assert check_residual(A, x, b) < 50 * TOL
 
 
+@pytest.mark.slow
 def test_two_level_geneo():
     pts, tree, gen, A = build_grid_problem(shape=(10, 10, 8), P=8)
     H = ht.build_hmatrix(gen, tree, epsilon=1e-10, eta=10.0)
@@ -104,6 +105,7 @@ def test_two_level_geneo():
     assert min(results.values()) < infos1["Nb_it"], (results, infos1["Nb_it"])
 
 
+@pytest.mark.slow
 def test_solve_with_distributed_operator():
     from htool_tpu.parallel import build_distributed_hmatrix, default_mesh
 
@@ -197,6 +199,7 @@ def test_block_gmres_shares_subspace():
     assert res < 1e-7
 
 
+@pytest.mark.slow
 def test_block_gmres_in_ddm_solvers():
     """block_gmres is selectable in both solver drivers."""
     pts, tree, gen, A = build_grid_problem(shape=(8, 8, 8), P=4)

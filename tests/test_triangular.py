@@ -20,6 +20,9 @@ from htool_tpu.testing import (
     laplace_kernel_symmetric,
 )
 
+# full grids / large n: default CI tier skips these (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _case(kernel, n=900, eps=1e-9, block=80):
     pts = create_sphere(n)
