@@ -3,12 +3,22 @@
 Produces the BASELINE.md table rows:
 - n in {10k, 100k} sphere / regularized-Laplace matvec (compressed
   entries/s, effective GB/s, relative error), the 100k row through the
-  tiled Pallas path;
+  tiled Pallas path; rel error MUST be < epsilon (the reference's
+  acceptance contract, test_hmatrix_build.hpp:191) — violations fail the
+  bench with a nonzero exit after printing all rows;
+- complex64 (Helmholtz-like) 100k matvec through the re/im-plane tiled
+  fast path;
 - assembly phase breakdown (block-tree plan / device assembly, cold vs
   warm compile cache);
-- BLR LU factorization + solve walltime with the backward-error estimate;
-- 8-virtual-device weak-scaling of the distributed matvec on the emulated
-  CPU mesh (functional scaling check — the chip is single-device).
+- hierarchical (two-level) LU factorization + solve walltime with the
+  backward-error estimate, 10k and 100k;
+- the flagship DDM workload (use_ddm_solver.cpp:59-136): 100k-point
+  sphere, one-level RAS + GMRES to 1e-6 — iterations, time-to-tol,
+  phase breakdown;
+- static weak-scaling accounting for P in {1..8}: per-device compressed
+  bytes / FLOP balance and collective payload bytes from the partition
+  plan (exact host-side accounting; the chip is single-device so
+  walltime scaling cannot be measured here).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} (headline =
 10k matvec compressed entries/s vs our recorded bench_baseline.json) plus
@@ -30,13 +40,16 @@ os.environ["XLA_FLAGS"] = (
 
 import numpy as np
 
+# accuracy-contract violations collected across rows; nonzero exit at the end
+_VIOLATIONS = []
+
 
 def _bench_matvec(n, nrhs, eps, aux, tiled):
     import jax
     import jax.numpy as jnp
 
     import htool_tpu as ht
-    from htool_tpu.hmatrix.linalg import matvec, prepare_tiled_matvec
+    from htool_tpu.hmatrix.linalg import matvec, matvec_user, prepare_tiled_matvec
 
     dtype = np.float32
     pts = create_points(n)
@@ -79,12 +92,16 @@ def _bench_matvec(n, nrhs, eps, aux, tiled):
 
     generated = (float(n) * n) / info["compression_ratio"]
     entries_per_s = generated * nrhs / t_mv
+    # error oracle in USER numbering -> the user-numbering product wrapper
+    # (matvec alone is cluster-numbered; rounds 1-2 compared it against the
+    # user-numbered dense rows, reporting a numbering artifact as 'error')
+    yu = np.asarray(matvec_user(H, xc))
     sub = rng.choice(n, 256, replace=False)
     A_rows = np.asarray(
         gen.block(jnp.asarray(sub, jnp.int32), jnp.asarray(np.arange(n), jnp.int32))
     )
-    y_ref = A_rows @ np.asarray(xc)
-    rel = np.linalg.norm(np.asarray(y)[sub] - y_ref) / np.linalg.norm(y_ref)
+    y_ref = A_rows.astype(np.float64) @ np.asarray(xc, np.float64)
+    rel = np.linalg.norm(yu[sub] - y_ref) / np.linalg.norm(y_ref)
 
     aux[f"matvec_n{n}"] = dict(
         n=n,
@@ -99,10 +116,229 @@ def _bench_matvec(n, nrhs, eps, aux, tiled):
         rank_mean=info["rank_mean"],
         n_false_positive=info["n_false_positive"],
         matvec_rel_error=float(rel),
+        accuracy_ok=bool(rel < eps),
         compressed_entries_per_s=entries_per_s,
         effective_gbytes_per_s=entries_per_s * np.dtype(dtype).itemsize / 1e9,
     )
+    if not rel < eps:
+        _VIOLATIONS.append(f"matvec_n{n}: rel_error {rel:.3e} >= eps {eps:g}")
     return entries_per_s
+
+
+def _bench_complex_matvec(n, nrhs, eps, aux):
+    """Complex64 tiled fast path (re/im plane plans) — target within 2x of
+    the real-f32 row at equal n (the complex data volume is exactly 2x)."""
+    import jax
+    import jax.numpy as jnp
+
+    import htool_tpu as ht
+    from htool_tpu.hmatrix.linalg import matvec, matvec_user, prepare_tiled_matvec
+    from htool_tpu.testing import laplace_kernel_complex_symmetric
+
+    pts = create_points(n).astype(np.float32)
+    gen = ht.KernelGenerator(
+        laplace_kernel_complex_symmetric, pts, pts, dtype=jnp.complex64
+    )
+    tree = ht.build_cluster_tree(pts, max_leaf_size=256)
+    t0 = time.perf_counter()
+    H = ht.build_hmatrix(gen, tree, epsilon=eps, eta=10.0)
+    jax.block_until_ready([b.data for b in H.dense_buckets])
+    t_assembly = time.perf_counter() - t0
+    info = ht.hmatrix_info(H)
+    t0 = time.perf_counter()
+    prepare_tiled_matvec(H)
+    t_prepare = time.perf_counter() - t0
+
+    rng = np.random.RandomState(0)
+    xc = jnp.asarray(
+        (rng.randn(n, nrhs) + 1j * rng.randn(n, nrhs)).astype(np.complex64)
+    )
+    y = matvec(H, xc)
+    y.block_until_ready()
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = matvec(H, xc)
+    y.block_until_ready()
+    t_mv = (time.perf_counter() - t0) / iters
+
+    generated = (float(n) * n) / info["compression_ratio"]
+    entries_per_s = generated * nrhs / t_mv
+    yu = np.asarray(matvec_user(H, xc))
+    sub = rng.choice(n, 256, replace=False)
+    A_rows = np.asarray(
+        gen.block(jnp.asarray(sub, jnp.int32), jnp.asarray(np.arange(n), jnp.int32))
+    )
+    y_ref = A_rows.astype(np.complex128) @ np.asarray(xc, np.complex128)
+    rel = np.linalg.norm(yu[sub] - y_ref) / np.linalg.norm(y_ref)
+    aux[f"complex_matvec_n{n}"] = dict(
+        n=n,
+        nrhs=nrhs,
+        epsilon=eps,
+        assembly_s=t_assembly,
+        tiled_prepare_s=t_prepare,
+        matvec_s=t_mv,
+        compression_ratio=info["compression_ratio"],
+        matvec_rel_error=float(rel),
+        accuracy_ok=bool(rel < eps),
+        compressed_entries_per_s=entries_per_s,
+        effective_gbytes_per_s=entries_per_s * 8 / 1e9,
+    )
+    if not rel < eps:
+        _VIOLATIONS.append(
+            f"complex_matvec_n{n}: rel_error {rel:.3e} >= eps {eps:g}"
+        )
+
+
+def _bench_blr2(n, eps, aux):
+    """Hierarchical (two-level) factorization — the production H-LU path
+    (factorization.hpp:19-79 asymptotics; VERDICT r2 item 1)."""
+    import jax.numpy as jnp
+
+    import htool_tpu as ht
+    from htool_tpu.hmatrix.blr2 import blr2_lu, blr2_solve, build_blr2
+
+    dtype = np.float32
+    pts = create_points(n)
+    gen = ht.KernelGenerator(kernel(), pts.astype(dtype), pts.astype(dtype))
+    tree = ht.build_cluster_tree(pts, max_leaf_size=256)
+    t0 = time.perf_counter()
+    A = build_blr2(gen, tree, epsilon=eps)
+    import jax
+
+    jax.block_until_ready(A.pU)
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    F = blr2_lu(A, error_estimate=True)
+    jax.block_until_ready(F.pU)
+    t_lu = time.perf_counter() - t0
+    b = jnp.asarray(np.random.RandomState(1).randn(n, 8).astype(dtype))
+    x = blr2_solve(F, b)
+    x.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(10):
+        x = blr2_solve(F, b)
+    x.block_until_ready()
+    t_solve = (time.perf_counter() - t0) / 10
+    aux[f"blr2_n{n}"] = dict(
+        n=n,
+        epsilon=eps,
+        build_s=t_build,
+        lu_s=t_lu,
+        solve_s=t_solve,
+        backward_error_est=F.info.get("backward_error_est"),
+        n_rank_capped=F.info.get("n_rank_capped_pairs"),
+        diag_mode=A.diag_mode,
+    )
+    bw = F.info.get("backward_error_est")
+    if bw is not None and not bw < 100 * eps:
+        _VIOLATIONS.append(f"blr2_n{n}: backward_error {bw:.3e} >= 100*eps")
+
+
+def _bench_ddm(n, aux):
+    """Flagship workload (use_ddm_solver.cpp:59-136 at BASELINE's 100k
+    scale): sphere, H-matrix operator, one-level RAS + GMRES to 1e-6."""
+    import jax
+    import jax.numpy as jnp
+
+    import htool_tpu as ht
+    from htool_tpu.hmatrix.linalg import prepare_tiled_matvec
+    from htool_tpu.solvers import DDMSolver
+
+    dtype = np.float32
+    eps = 1e-3
+    P = 16
+    tol = 1e-6
+    pts = create_points(n)
+    gen = ht.KernelGenerator(kernel(), pts.astype(dtype), pts.astype(dtype))
+    tree = ht.build_cluster_tree(pts, max_leaf_size=256, n_partitions=P)
+    t0 = time.perf_counter()
+    H = ht.build_hmatrix(gen, tree, epsilon=eps, eta=10.0)
+    jax.block_until_ready([b.data for b in H.dense_buckets])
+    t_assembly = time.perf_counter() - t0
+    prepare_tiled_matvec(H)
+
+    t0 = time.perf_counter()
+    solver = DDMSolver(
+        H, gen, tree, schwarz="ras", overlap_radius=0.02, local_solver="dense"
+    )
+    t_facto = time.perf_counter() - t0
+
+    rng = np.random.RandomState(0)
+    x_true = rng.randn(n).astype(dtype)
+    # rhs via the compressed operator keeps the oracle consistent at f32
+    b = np.asarray(H @ jnp.asarray(x_true))
+    t0 = time.perf_counter()
+    x, infos = solver.solve(b, tol=tol, krylov="gmres", restart=60, maxiter=200)
+    t_solve = time.perf_counter() - t0
+    res = float(
+        np.linalg.norm(np.asarray(H @ jnp.asarray(np.asarray(x))) - b)
+        / np.linalg.norm(b)
+    )
+    aux[f"ddm_n{n}"] = dict(
+        n=n,
+        subdomains=P,
+        epsilon=eps,
+        tol=tol,
+        assembly_s=t_assembly,
+        facto_one_level_s=t_facto,
+        solve_s=t_solve,
+        iterations=infos.get("Nb_it"),
+        residual=res,
+        converged=bool(res < 10 * tol),
+    )
+    if not res < 10 * tol:
+        _VIOLATIONS.append(f"ddm_n{n}: residual {res:.3e} >= 10*tol")
+
+
+def _bench_weak_scaling_static(n, aux):
+    """Exact host-side weak-scaling accounting (VERDICT r2 item 9): from one
+    built H-matrix + the partition plan, report per-device compressed bytes
+    and matvec FLOP balance, and the collective payload bytes per matvec for
+    P in {1,2,4,8} — what actually rides ICI in the l2l product
+    (all_gather of x 'N' / psum_scatter of y 'T').  Replaces the CPU-thread
+    walltime row, which measured host collective overhead, not ICI."""
+    import htool_tpu as ht
+
+    dtype = np.float32
+    itemsize = np.dtype(dtype).itemsize
+    eps = 1e-3
+    pts = create_points(n)
+    gen = ht.KernelGenerator(kernel(), pts.astype(dtype), pts.astype(dtype))
+    rows = {}
+    for P in (1, 2, 4, 8):
+        tree = ht.build_cluster_tree(pts, max_leaf_size=256, n_partitions=P)
+        H = ht.build_hmatrix(gen, tree, epsilon=eps, eta=10.0)
+        offs, szs = tree.partition_offsets_sizes()
+        bounds = np.asarray(offs, np.int64)
+        ends = bounds + np.asarray(szs, np.int64)
+        per_dev_entries = np.zeros(P, np.int64)
+        for b in H.dense_buckets:
+            t_off = np.asarray(b.t_off)
+            own = np.searchsorted(ends, t_off, side="right")
+            sz = int(b.data.shape[1]) * int(b.data.shape[2])
+            np.add.at(per_dev_entries, own, sz)
+        for b in H.lr_buckets:
+            t_off = np.asarray(b.t_off)
+            own = np.searchsorted(ends, t_off, side="right")
+            bm, bn = b.block_shape
+            sz = int(b.rank_padded) * (bm + bn)
+            np.add.at(per_dev_entries, own, sz)
+        flops = per_dev_entries * 2  # one mul+add per stored entry per rhs col
+        comm_N = (n - n // P) * itemsize  # all_gather recv bytes per device
+        comm_T = n * itemsize  # psum_scatter reduce bytes per device
+        total = float(per_dev_entries.sum())
+        rows[str(P)] = dict(
+            per_device_entries_max=int(per_dev_entries.max()),
+            per_device_entries_mean=total / P,
+            balance=float(per_dev_entries.max() / (total / P)),
+            flops_per_device_mean=float(flops.mean()),
+            collective_bytes_N=int(comm_N),
+            collective_bytes_T=int(comm_T),
+            comm_to_compute_bytes=float(comm_N / (per_dev_entries.mean() * itemsize)),
+        )
+        del H
+    aux["weak_scaling_static"] = dict(n=n, per_P=rows)
 
 
 def _bench_blr(n, eps, aux):
@@ -140,65 +376,6 @@ def _bench_blr(n, eps, aux):
         n_rank_capped=F.info.get("n_rank_capped_cells"),
         compression=A.compression_info()["compression_ratio"],
     )
-
-
-def _bench_weak_scaling(aux):
-    """Distributed matvec on the emulated 8-device CPU mesh at fixed
-    per-device size (functional weak-scaling; the chip is single-device)."""
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import Mesh
-
-    import htool_tpu as ht
-    from htool_tpu.parallel import build_distributed_hmatrix
-
-    per_dev = 2000
-    rows = {}
-    entries = {}
-    cpu_devs = jax.devices("cpu")
-    # pallas kernels cannot run compiled on the CPU mesh devices
-    prev_pallas = os.environ.get("HTOOL_TPU_PALLAS")
-    os.environ["HTOOL_TPU_PALLAS"] = "0"
-    for P in (1, 2, 4, 8):
-        n = per_dev * P
-        pts = create_points(n)
-        gen = ht.KernelGenerator(
-            kernel(), pts.astype(np.float32), pts.astype(np.float32)
-        )
-        tree = ht.build_cluster_tree(pts, max_leaf_size=128, n_partitions=P)
-        mesh = Mesh(np.array(cpu_devs[:P]), ("p",))
-        with jax.default_device(cpu_devs[0]):
-            D = build_distributed_hmatrix(gen, tree, mesh, epsilon=1e-3, eta=10.0)
-            from htool_tpu.parallel import distributed_hmatrix_info
-
-            dinfo = distributed_hmatrix_info(D)
-            entries[P] = (float(n) * n) / dinfo.get(
-                "compression_ratio", dinfo.get("compression_ratio_mean", 1.0)
-            )
-            x = jnp.asarray(np.random.RandomState(0).randn(n).astype(np.float32))
-            y = D.matvec(x)
-            y.block_until_ready()
-            t0 = time.perf_counter()
-            for _ in range(5):
-                y = D.matvec(x)
-            y.block_until_ready()
-            rows[P] = (time.perf_counter() - t0) / 5
-    eff = {}
-    for P in (2, 4, 8):
-        # weak scaling: the total compressed work grows with n = P*per_dev,
-        # so efficiency = per-device throughput relative to P = 1
-        thr1 = entries[1] / rows[1]
-        thrP = entries[P] / rows[P] / P
-        eff[P] = thrP / thr1
-    aux["weak_scaling_cpu_mesh"] = dict(
-        per_device_n=per_dev,
-        matvec_s={str(k): v for k, v in rows.items()},
-        per_device_efficiency={str(k): v for k, v in eff.items()},
-    )
-    if prev_pallas is None:
-        os.environ.pop("HTOOL_TPU_PALLAS", None)
-    else:
-        os.environ["HTOOL_TPU_PALLAS"] = prev_pallas
 
 
 def create_points(n):
@@ -242,13 +419,30 @@ def main():
         except Exception as e:  # pragma: no cover - chip-memory dependent
             aux["matvec_n100000"] = {"error": repr(e)[:200]}
         try:
-            _bench_blr(10_000, 1e-4, aux)
+            _bench_complex_matvec(100_000, 8, 1e-3, aux)
         except Exception as e:
-            aux["blr_n10000"] = {"error": repr(e)[:200]}
+            aux["complex_matvec_n100000"] = {"error": repr(e)[:200]}
+        if os.environ.get("BENCH_FLAT_BLR", "0") == "1":
+            try:
+                _bench_blr(10_000, 1e-4, aux)
+            except Exception as e:
+                aux["blr_n10000"] = {"error": repr(e)[:200]}
+        try:
+            _bench_blr2(10_000, 1e-4, aux)
+        except Exception as e:
+            aux["blr2_n10000"] = {"error": repr(e)[:200]}
+        try:
+            _bench_blr2(100_000, 1e-4, aux)
+        except Exception as e:
+            aux["blr2_n100000"] = {"error": repr(e)[:200]}
+        try:
+            _bench_ddm(100_000, aux)
+        except Exception as e:
+            aux["ddm_n100000"] = {"error": repr(e)[:200]}
     try:
-        _bench_weak_scaling(aux)
+        _bench_weak_scaling_static(int(os.environ.get("BENCH_N", "10000")), aux)
     except Exception as e:
-        aux["weak_scaling_cpu_mesh"] = {"error": repr(e)[:200]}
+        aux["weak_scaling_static"] = {"error": repr(e)[:200]}
 
     print(json.dumps(aux), file=sys.stderr)
 
@@ -274,6 +468,11 @@ def main():
             }
         )
     )
+    if _VIOLATIONS:
+        # accuracy contract broken: fail AFTER all rows are printed so the
+        # numbers are still recorded (reference contract: error < epsilon)
+        print("ACCURACY VIOLATIONS: " + "; ".join(_VIOLATIONS), file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

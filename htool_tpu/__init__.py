@@ -44,13 +44,16 @@ from .hmatrix.blr2 import (
 from .hmatrix.conversion import (
     cholesky_factorization,
     cholesky_solve,
+    common_grid_blr,
     hmatrix_hmatrix_product,
     lu_factorization,
     lu_solve,
     recompress_hmatrix,
+    retile_blr,
     to_blr,
     to_blr2,
 )
+from .hmatrix.output import load_hmatrix, save_hmatrix
 
 __version__ = "0.1.0"
 
@@ -92,4 +95,8 @@ __all__ = [
     "cholesky_factorization",
     "cholesky_solve",
     "hmatrix_hmatrix_product",
+    "retile_blr",
+    "common_grid_blr",
+    "save_hmatrix",
+    "load_hmatrix",
 ]

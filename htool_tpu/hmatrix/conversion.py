@@ -38,6 +38,8 @@ from .hmatrix import HMatrix, LowRankBucket
 
 __all__ = [
     "recompress_hmatrix",
+    "retile_blr",
+    "common_grid_blr",
     "to_blr",
     "to_blr2",
     "lu_factorization",
@@ -110,21 +112,46 @@ def to_blr(
     stored leaf data.  Symmetric/hermitian storage is expanded (mirror
     leaves contribute their transpose/conj-transpose on the upper triangle),
     since factorization needs full storage.
+
+    PARTITION-RESTRICTED input (a device's local block-row,
+    ``t_root_off > 0`` or ``m < n``): the square DIAGONAL block of the
+    block-row — rows × the same index range of columns — is re-tiled, which
+    is exactly what the DDM local solver factorizes (the reference's
+    ``block_diagonal_hmatrix``, ``distributed_operator/utility.hpp:37-61``).
     """
-    if h.shape[0] != h.shape[1] or h.t_root_off != 0 or h.s_root_off != 0:
-        raise ValueError("to_blr needs a square, non-restricted H-matrix")
-    if h.shape[0] != tree.n_points or not np.array_equal(
-        np.asarray(h.perm_t), tree.permutation
-    ):
-        raise ValueError(
-            "tree does not match the H-matrix: to_blr must be given the "
-            "cluster tree the matrix was assembled over "
-            f"(h.shape[0]={h.shape[0]}, tree.n_points={tree.n_points})"
-        )
+    restricted = (
+        h.shape[0] != h.shape[1] or h.t_root_off != 0 or h.s_root_off != 0
+    )
+    if restricted:
+        if h.s_root_off != 0 or h.shape[1] != tree.n_points:
+            raise ValueError(
+                "restricted to_blr expects a block-row (full column range)"
+            )
+        r0, m = int(h.t_root_off), int(h.shape[0])
+        if r0 + m > tree.n_points:
+            raise ValueError("block-row exceeds the tree's index range")
+    else:
+        r0, m = 0, int(h.shape[0])
+        if h.shape[0] != tree.n_points:
+            raise ValueError(
+                "tree does not match the H-matrix: to_blr must be given the "
+                "cluster tree the matrix was assembled over "
+                f"(h.shape[0]={h.shape[0]}, tree.n_points={tree.n_points})"
+            )
+    if not np.array_equal(np.asarray(h.perm_t), tree.permutation):
+        raise ValueError("tree does not match the H-matrix (permutation)")
     if epsilon is None:
         epsilon = 1e-6
 
     cells, offs, szs, level = _grid_cells(tree, block_size)
+    if restricted:
+        keep = (offs >= r0) & (offs + szs <= r0 + m)
+        if int(szs[keep].sum()) != m:
+            raise ValueError(
+                "grid cells do not align with the partition boundary; "
+                "use a block_size at or below the partition size"
+            )
+        cells, offs, szs = cells[keep], offs[keep], szs[keep]
     nL = len(cells)
     ends = offs + szs
     b = max(8, int(-(-int(szs.max()) // 8) * 8))
@@ -141,14 +168,22 @@ def to_blr(
         contribs.setdefault((ci, cj), []).append(item)
 
     def scatter_block(t_off, t_size, s_off, s_size, get_dense, get_lr, is_lr):
-        ti0, ti1 = _cell_span(offs, ends, t_off, t_size)
-        tj0, tj1 = _cell_span(offs, ends, s_off, s_size)
+        # restricted mode: only the diagonal square [r0, r0+m)^2 is kept —
+        # clip the leaf's ranges to it (leaves of a block-row span all
+        # columns) and drop what falls outside
+        lo, hi = r0, r0 + m
+        rt_lo, rt_hi = max(t_off, lo), min(t_off + t_size, hi)
+        rs_lo, rs_hi = max(s_off, lo), min(s_off + s_size, hi)
+        if rt_lo >= rt_hi or rs_lo >= rs_hi:
+            return
+        ti0, ti1 = _cell_span(offs, ends, rt_lo, rt_hi - rt_lo)
+        tj0, tj1 = _cell_span(offs, ends, rs_lo, rs_hi - rs_lo)
         for ci in range(ti0, ti1 + 1):
-            r_lo = max(t_off, int(offs[ci]))
-            r_hi = min(t_off + t_size, int(ends[ci]))
+            r_lo = max(rt_lo, int(offs[ci]))
+            r_hi = min(rt_hi, int(ends[ci]))
             for cj in range(tj0, tj1 + 1):
-                c_lo = max(s_off, int(offs[cj]))
-                c_hi = min(s_off + s_size, int(ends[cj]))
+                c_lo = max(rs_lo, int(offs[cj]))
+                c_hi = min(rs_hi, int(ends[cj]))
                 # slice within the leaf / placement within the cell
                 sl_r = slice(r_lo - t_off, r_hi - t_off)
                 sl_c = slice(c_lo - s_off, c_hi - s_off)
@@ -198,7 +233,27 @@ def to_blr(
                     None, lambda rr, cc, Um=Um, Vm=Vm: (Um[rr], Vm[:, cc]), True,
                 )
 
-    # ---- decide R_half -----------------------------------------------------
+    # restricted block: local cell offsets + the partition's permutation
+    # slice, so the result is a self-contained square BLR on [0, m)
+    return _assemble_blr_cells(
+        contribs, offs - r0, szs, b, R_half, float(epsilon), dtype,
+        tree.permutation[r0 : r0 + m],
+        dict(level=level, n_cells=nL, from_hmatrix=True, row_offset=r0),
+    )
+
+
+def _assemble_blr_cells(
+    contribs, offs, szs, b, R_half, epsilon, dtype, perm, info
+) -> BLRMatrix:
+    """Assemble a BLRMatrix from per-cell contribution lists.
+
+    ``contribs[(ci, cj)]`` is a list of ``("D", block, (r0, c0))`` dense
+    placements and ``("LR", (Ur, Vr), (r0, c0))`` restricted low-rank
+    factors; shared by :func:`to_blr` (H-matrix leaves) and
+    :func:`retile_blr` (cells of another grid)."""
+    nL = offs.shape[0]
+    ends = offs + szs
+
     def lr_total_rank(items):
         return sum(p[0].shape[1] for k, p, _ in items if k == "LR")
 
@@ -218,7 +273,6 @@ def to_blr(
     R_half = int(-(-R_half // 8) * 8)
     R_buf = 2 * R_half
 
-    # ---- build cells -------------------------------------------------------
     cls = np.zeros((nL, nL), np.int8)
     dense_slot = np.full((nL, nL), -1, np.int32)
     lr_slot = np.full((nL, nL), -1, np.int32)
@@ -275,9 +329,8 @@ def to_blr(
         V = jnp.concatenate([V2, V[-1:]])
         ranks = jnp.concatenate([nr, ranks[-1:]])
 
-    perm = tree.permutation
     return BLRMatrix(
-        n=tree.n_points,
+        n=int(szs.sum()),
         cell_off=offs,
         cell_size=szs,
         b=b,
@@ -291,8 +344,109 @@ def to_blr(
         R_half=R_half,
         epsilon=float(epsilon),
         permutation=perm,
-        info=dict(level=level, n_cells=nL, from_hmatrix=True),
+        info=info,
     )
+
+
+def retile_blr(
+    X: BLRMatrix,
+    cell_off: np.ndarray,
+    cell_size: np.ndarray,
+    b: Optional[int] = None,
+    R_half: Optional[int] = None,
+    epsilon: Optional[float] = None,
+) -> BLRMatrix:
+    """Re-tile a BLR matrix onto a new uniform grid (offsets/sizes tiling
+    the same [0, n)) without re-evaluating anything: dense cells are copied
+    slice-wise, low-rank cells restrict their U/V factors, and each target
+    cell recompresses once.
+
+    This is the mechanism behind mixed-grid compressed products/solves —
+    the reference handles inconsistent trees by recursion-time splitting
+    (``add_hmatrix_hmatrix_product.hpp:31-74``); on the flat layout the
+    equivalent is an explicit re-tile onto a common grid."""
+    cell_off = np.asarray(cell_off, np.int64)
+    cell_size = np.asarray(cell_size, np.int64)
+    if int(cell_size.sum()) != X.n:
+        raise ValueError(
+            f"target grid covers {int(cell_size.sum())} rows, matrix has {X.n}"
+        )
+    if b is None:
+        b = max(8, int(-(-int(cell_size.max()) // 8) * 8))
+    ends = cell_off + cell_size
+    dtype = np.asarray(jnp.zeros((), X.dtype)).dtype
+    contribs: dict = {}
+
+    def add(ci, cj, item):
+        contribs.setdefault((ci, cj), []).append(item)
+
+    def scatter(t_off, t_size, s_off, s_size, get_dense, get_lr, is_lr):
+        ti0, ti1 = _cell_span(cell_off, ends, t_off, t_size)
+        tj0, tj1 = _cell_span(cell_off, ends, s_off, s_size)
+        for ci in range(ti0, ti1 + 1):
+            r_lo = max(t_off, int(cell_off[ci]))
+            r_hi = min(t_off + t_size, int(ends[ci]))
+            for cj in range(tj0, tj1 + 1):
+                c_lo = max(s_off, int(cell_off[cj]))
+                c_hi = min(s_off + s_size, int(ends[cj]))
+                sl_r = slice(r_lo - t_off, r_hi - t_off)
+                sl_c = slice(c_lo - s_off, c_hi - s_off)
+                at = (r_lo - int(cell_off[ci]), c_lo - int(cell_off[cj]))
+                if is_lr:
+                    add(ci, cj, ("LR", get_lr(sl_r, sl_c), at))
+                else:
+                    add(ci, cj, ("D", get_dense(sl_r, sl_c), at))
+
+    Dh = np.asarray(X.D)
+    Uh = np.asarray(X.U)
+    Vh = np.asarray(X.V)
+    rk = np.asarray(X.ranks)
+    for i in range(X.nL):
+        oi, si = int(X.cell_off[i]), int(X.cell_size[i])
+        for j in range(X.nL):
+            oj, sj = int(X.cell_off[j]), int(X.cell_size[j])
+            c = X.cls[i, j]
+            if c == ZERO:
+                continue
+            if c == DENSE:
+                blk = Dh[X.dense_slot[i, j], :si, :sj]
+                scatter(oi, si, oj, sj,
+                        lambda r, cc, blk=blk: blk[r, cc], None, False)
+            else:
+                s = X.lr_slot[i, j]
+                r = int(rk[s])
+                Uq, Vq = Uh[s, :si, :r], Vh[s, :r, :sj]
+                scatter(oi, si, oj, sj, None,
+                        lambda rr, cc, Uq=Uq, Vq=Vq: (Uq[rr], Vq[:, cc]), True)
+
+    eps = X.epsilon if epsilon is None else float(epsilon)
+    info = dict(X.info)
+    info.update(n_cells=int(cell_off.shape[0]), retiled=True)
+    return _assemble_blr_cells(
+        contribs, cell_off, cell_size, b, R_half, eps, dtype,
+        X.permutation, info,
+    )
+
+
+def common_grid_blr(A: BLRMatrix, B: BLRMatrix):
+    """Bring two BLR operands onto a common grid (the coarser of the two —
+    larger cells keep the re-tile lossless and the cell count low).
+    Returns (A', B') sharing cell_off/cell_size/b."""
+    if A.n != B.n:
+        raise ValueError(f"operand sizes differ: {A.n} vs {B.n}")
+    if (
+        A.nL == B.nL
+        and A.b == B.b
+        and np.array_equal(np.asarray(A.cell_off), np.asarray(B.cell_off))
+    ):
+        return A, B
+    # the coarser grid = fewer cells
+    ref = A if A.nL <= B.nL else B
+    offs = np.asarray(ref.cell_off)
+    szs = np.asarray(ref.cell_size)
+    Ar = A if ref is A else retile_blr(A, offs, szs, b=ref.b)
+    Br = B if ref is B else retile_blr(B, offs, szs, b=ref.b)
+    return Ar, Br
 
 
 # ======================================================================

@@ -35,8 +35,12 @@ def initialize_multihost(
     (``jax.distributed.initialize()``); explicit arguments support
     CPU/GPU clusters.  Safe to call when already initialized or when
     running single-process (no coordinator configured): those cases are
-    no-ops."""
-    if jax.process_count() > 1:
+    no-ops.
+
+    Must run before any backend use: probing ``jax.process_count()`` (or
+    touching any array) initializes the local backend and silently breaks
+    ``jax.distributed.initialize`` — hence the client check below."""
+    if jax.distributed.is_initialized():
         return  # already initialized
     try:
         if coordinator_address is not None:

@@ -5,6 +5,7 @@ lu_solve / cholesky_solve / hmatrix_hmatrix_product
 (reference hmatrix/linalg/factorization.hpp:82-290,
 add_hmatrix_hmatrix_product.hpp:210).  Oracle = dense linalg."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -90,3 +91,84 @@ def test_hmatrix_hmatrix_product():
     y = np.asarray(blr_matvec(C, x))
     ref = Ac @ (Ac @ x)
     assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-3
+
+
+def test_blr_matmul_mixed_grids():
+    """Operands on different grids auto re-tile onto a common grid — the
+    flat-layout counterpart of the reference's inconsistent-tree recursion
+    (add_hmatrix_hmatrix_product.hpp:31-74)."""
+    from htool_tpu.hmatrix.blr import blr_matmul, build_blr
+    from htool_tpu.hmatrix.conversion import retile_blr
+
+    n = 1200
+    pts = create_sphere(n)
+    gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=50)
+    Pm = tree.permutation
+    Adc = np.asarray(gen.to_dense())[np.ix_(Pm, Pm)]
+    A = build_blr(gen, tree, epsilon=1e-8, eta=10.0, block_size=75)
+    B = build_blr(gen, tree, epsilon=1e-8, eta=10.0, block_size=150)
+    assert A.nL != B.nL
+    # lossless re-tile
+    Ar = retile_blr(A, np.asarray(B.cell_off), np.asarray(B.cell_size), b=B.b)
+    errr = np.linalg.norm(Ar.to_dense() - Adc) / np.linalg.norm(Adc)
+    assert errr < 1e-6, errr
+    C = blr_matmul(A, B)
+    ref = Adc @ Adc
+    err = np.linalg.norm(C.to_dense() - ref) / np.linalg.norm(ref)
+    assert err < 1e-5, err
+
+
+def test_blr_trisolve_matrix_mixed_grids():
+    from htool_tpu.hmatrix.blr import (
+        blr_lu,
+        blr_triangular_solve,
+        blr_triangular_solve_matrix,
+        build_blr,
+    )
+    from htool_tpu.hmatrix.conversion import retile_blr
+
+    n = 1200
+    pts = create_sphere(n)
+    gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=50)
+    A = build_blr(gen, tree, epsilon=1e-8, eta=10.0, block_size=75)
+    B = build_blr(gen, tree, epsilon=1e-8, eta=10.0, block_size=150)
+    F = blr_lu(B, error_estimate=False)
+    X = blr_triangular_solve_matrix(F, A, which="L", side="L", trans="N")
+    Ar = retile_blr(A, np.asarray(B.cell_off), np.asarray(B.cell_size), b=B.b)
+    ref = np.asarray(
+        blr_triangular_solve(
+            F, jnp.asarray(Ar.to_dense()), which="L", side="L", trans="N"
+        )
+    )
+    err = np.linalg.norm(X.to_dense() - ref) / np.linalg.norm(ref)
+    assert err < 1e-5, err
+
+
+def test_to_blr_partition_restricted():
+    """A device's local block-row converts directly: the diagonal square of
+    the restricted H-matrix lands on a local BLR grid and factorizes — the
+    DDM local-solver path on the reference's block_diagonal_hmatrix
+    (distributed_operator/utility.hpp:37-61)."""
+    from htool_tpu.hmatrix.blr import blr_lu, blr_solve
+
+    n, P = 1200, 4
+    pts = create_sphere(n)
+    gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=50, n_partitions=P)
+    Pm = tree.permutation
+    Adc = np.asarray(gen.to_dense())[np.ix_(Pm, Pm)]
+    offs, szs = tree.partition_offsets_sizes()
+    for p in (0, P - 1):
+        Hp = ht.build_hmatrix(gen, tree, epsilon=1e-8, eta=10.0, target_partition=p)
+        Bp = ht.to_blr(Hp, tree, block_size=100, epsilon=1e-8)
+        r0, m = int(offs[p]), int(szs[p])
+        Dref = Adc[r0 : r0 + m, r0 : r0 + m]
+        err = np.linalg.norm(Bp.to_dense() - Dref) / np.linalg.norm(Dref)
+        assert err < 1e-6, (p, err)
+        F = blr_lu(Bp, error_estimate=False)
+        x = np.random.RandomState(p).randn(m)
+        sol = np.asarray(blr_solve(F, jnp.asarray(Dref @ x)))
+        err = np.linalg.norm(sol - x) / np.linalg.norm(x)
+        assert err < 1e-5, (p, err)
