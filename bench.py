@@ -1,13 +1,17 @@
 """Benchmark harness — runs on the real TPU chip (default axon platform).
 
 Produces the BASELINE.md table rows:
+- kernel_smoke: tiny COMPILED (non-interpret) exercise of every Pallas
+  kernel variant (dense / low-rank / transposed / split-LR / complex
+  plan pack) so on-chip lowering failures are attributable per kernel;
 - n in {10k, 100k} sphere / regularized-Laplace matvec (compressed
-  entries/s, effective GB/s, relative error), the 100k row through the
-  tiled Pallas path; rel error MUST be < epsilon (the reference's
-  acceptance contract, test_hmatrix_build.hpp:191) — violations fail the
-  bench with a nonzero exit after printing all rows;
+  entries/s, effective GB/s, relative error) through the tiled Pallas
+  path; rel error MUST be < epsilon (the reference's acceptance
+  contract, test_hmatrix_build.hpp:191);
 - complex64 (Helmholtz-like) 100k matvec through the re/im-plane tiled
-  fast path;
+  fast path (complex data crosses the host boundary as split float
+  planes — utils/cxfer.py — because some TPU runtimes cannot transfer
+  complex arrays);
 - assembly phase breakdown (block-tree plan / device assembly, cold vs
   warm compile cache);
 - hierarchical (two-level) LU factorization + solve walltime with the
@@ -20,14 +24,23 @@ Produces the BASELINE.md table rows:
   plan (exact host-side accounting; the chip is single-device so
   walltime scaling cannot be measured here).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} (headline =
-10k matvec compressed entries/s vs our recorded bench_baseline.json) plus
-all auxiliary metrics on stderr.  The reference publishes no numbers
-(BASELINE.md), so vs_baseline is against our own first-round record.
+EVERY ROW RUNS IN ITS OWN SUBPROCESS: one backend failure cannot poison
+the remaining rows (in round 3 a single complex-transfer failure
+cascaded into 5/7 rows dying with the same error), and a failed row is
+retried once to absorb transient relay flakiness.  Row errors and
+accuracy violations are LOUD: they are recorded per row AND fail the
+bench with a nonzero exit after all rows have printed.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}
+(headline = 10k matvec compressed entries/s vs our recorded
+bench_baseline.json) plus all auxiliary metrics on stderr.  The
+reference publishes no numbers (BASELINE.md), so vs_baseline is against
+our own first-round record.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -42,6 +55,124 @@ import numpy as np
 
 # accuracy-contract violations collected across rows; nonzero exit at the end
 _VIOLATIONS = []
+
+_ROW_TIMEOUT_S = int(os.environ.get("BENCH_ROW_TIMEOUT", "2700"))
+
+
+def _bench_kernel_smoke(aux):
+    """Tiny compiled (non-interpret) exercise of each Pallas kernel variant.
+
+    Failures here attribute on-chip lowering problems to a specific kernel
+    before the big rows spend minutes of assembly (VERDICT r3 item 10)."""
+    import jax
+    import jax.numpy as jnp
+
+    import htool_tpu as ht
+    from htool_tpu.hmatrix.hmatrix import DenseBucket, LowRankBucket
+    from htool_tpu.ops.tiled_matvec import (
+        apply_complex_plans,
+        build_tile_plan,
+        build_tile_plan_complex,
+        build_tile_plan_lr_split,
+        tiled_bucket_matvec,
+    )
+
+    rng = np.random.RandomState(0)
+    n = 2048
+    nb, bm, bn, r = 8, 256, 256, 8
+    offs = np.arange(nb, dtype=np.int64) * 256
+    results = {}
+
+    def check(name, fn):
+        try:
+            t0 = time.perf_counter()
+            got, want = fn()
+            err = float(
+                np.linalg.norm(np.asarray(got) - want) / max(np.linalg.norm(want), 1e-30)
+            )
+            ok = err < 1e-4
+            results[name] = {"ok": bool(ok), "rel_err": err,
+                             "wall_s": time.perf_counter() - t0}
+            if not ok:
+                _VIOLATIONS.append(f"kernel_smoke:{name}: rel_err {err:.3e}")
+        except Exception as e:  # pragma: no cover - chip dependent
+            results[name] = {"ok": False, "error": repr(e)[:200]}
+            _VIOLATIONS.append(f"kernel_smoke:{name}: {repr(e)[:100]}")
+
+    data = rng.randn(nb, bm, bn).astype(np.float32)
+    U = rng.randn(nb, bm, r).astype(np.float32)
+    V = rng.randn(nb, r, bn).astype(np.float32)
+    x = rng.randn(n + 64, 8).astype(np.float32)
+    szs = np.full(nb, bm, np.int64)
+
+    def dense_ref(mats, trans=False, xin=None):
+        xin = x if xin is None else xin
+        y = np.zeros((n + 64, 8), np.float64)
+        for i in range(nb):
+            blk = mats[i].T if trans else mats[i]
+            w = blk.shape[0]
+            y[offs[i] : offs[i] + w] += blk.astype(y.dtype) @ xin[
+                offs[i] : offs[i] + blk.shape[1]
+            ].astype(y.dtype)
+        return y
+
+    def mk_dense(d=data):
+        return DenseBucket(
+            data=jnp.asarray(d), t_off=jnp.asarray(offs), s_off=jnp.asarray(offs),
+            t_sizes=szs, s_sizes=szs,
+        )
+
+    def mk_lr():
+        return LowRankBucket(
+            U=jnp.asarray(U), V=jnp.asarray(V), t_off=jnp.asarray(offs),
+            s_off=jnp.asarray(offs), t_sizes=szs, s_sizes=szs,
+            ranks=np.full(nb, r, np.int64),
+        )
+
+    lr_ref = dense_ref([U[i] @ V[i] for i in range(nb)])
+
+    def run_dense():
+        plan = build_tile_plan(mk_dense(), "t", n + 64)
+        y = tiled_bucket_matvec(plan, jnp.asarray(x), jnp.float32)
+        return y, dense_ref(data)
+
+    def run_dense_trans():
+        plan = build_tile_plan(mk_dense(), "s", n + 64)
+        y = tiled_bucket_matvec(plan, jnp.asarray(x), jnp.float32)
+        return y, dense_ref(data, trans=True)
+
+    def run_lr():
+        plan = build_tile_plan(mk_lr(), "t", n + 64)
+        y = tiled_bucket_matvec(plan, jnp.asarray(x), jnp.float32)
+        return y, lr_ref
+
+    def run_lr_split():
+        pA, pB = build_tile_plan_lr_split(mk_lr(), "t", n + 64)
+        t = tiled_bucket_matvec(pA, jnp.asarray(x), jnp.float32)
+        y = tiled_bucket_matvec(pB, t, jnp.float32)
+        return y, lr_ref
+
+    def run_complex():
+        from htool_tpu.utils.cxfer import to_device, to_host
+
+        zdata = (data + 1j * rng.randn(nb, bm, bn)).astype(np.complex64)
+        zb = mk_dense(to_device(zdata))
+        pack = build_tile_plan_complex(zb, "t", n + 64)
+        xz = (x + 1j * rng.randn(n + 64, 8)).astype(np.complex64)
+        y = apply_complex_plans(pack, to_device(xz), 1.0, 8, jnp.float32)
+        ref = np.zeros((n + 64, 8), np.complex128)
+        for i in range(nb):
+            ref[offs[i] : offs[i] + bm] += zdata[i].astype(np.complex128) @ xz[
+                offs[i] : offs[i] + bn
+            ].astype(np.complex128)
+        return to_host(y), ref
+
+    check("dense_tiled", run_dense)
+    check("dense_tiled_trans", run_dense_trans)
+    check("lr_tiled", run_lr)
+    check("lr_split_tiled", run_lr_split)
+    check("complex_pack", run_complex)
+    aux["kernel_smoke"] = results
 
 
 def _bench_matvec(n, nrhs, eps, aux, tiled):
@@ -127,13 +258,18 @@ def _bench_matvec(n, nrhs, eps, aux, tiled):
 
 def _bench_complex_matvec(n, nrhs, eps, aux):
     """Complex64 tiled fast path (re/im plane plans) — target within 2x of
-    the real-f32 row at equal n (the complex data volume is exactly 2x)."""
+    the real-f32 row at equal n (the complex data volume is exactly 2x).
+
+    All complex host<->device crossings go through utils/cxfer (split
+    float planes): complex transfers are UNIMPLEMENTED on the axon relay
+    and one failed transfer poisons the process (round-3 postmortem)."""
     import jax
     import jax.numpy as jnp
 
     import htool_tpu as ht
     from htool_tpu.hmatrix.linalg import matvec, matvec_user, prepare_tiled_matvec
     from htool_tpu.testing import laplace_kernel_complex_symmetric
+    from htool_tpu.utils.cxfer import to_device, to_host
 
     pts = create_points(n).astype(np.float32)
     gen = ht.KernelGenerator(
@@ -150,7 +286,7 @@ def _bench_complex_matvec(n, nrhs, eps, aux):
     t_prepare = time.perf_counter() - t0
 
     rng = np.random.RandomState(0)
-    xc = jnp.asarray(
+    xc = to_device(
         (rng.randn(n, nrhs) + 1j * rng.randn(n, nrhs)).astype(np.complex64)
     )
     y = matvec(H, xc)
@@ -164,12 +300,12 @@ def _bench_complex_matvec(n, nrhs, eps, aux):
 
     generated = (float(n) * n) / info["compression_ratio"]
     entries_per_s = generated * nrhs / t_mv
-    yu = np.asarray(matvec_user(H, xc))
+    yu = to_host(matvec_user(H, xc))
     sub = rng.choice(n, 256, replace=False)
-    A_rows = np.asarray(
+    A_rows = to_host(
         gen.block(jnp.asarray(sub, jnp.int32), jnp.asarray(np.arange(n), jnp.int32))
     )
-    y_ref = A_rows.astype(np.complex128) @ np.asarray(xc, np.complex128)
+    y_ref = A_rows.astype(np.complex128) @ to_host(xc).astype(np.complex128)
     rel = np.linalg.norm(yu[sub] - y_ref) / np.linalg.norm(y_ref)
     aux[f"complex_matvec_n{n}"] = dict(
         n=n,
@@ -390,7 +526,11 @@ def kernel():
     return laplace_kernel_symmetric
 
 
-def main():
+# ---------------------------------------------------------------------------
+# row registry + subprocess isolation
+# ---------------------------------------------------------------------------
+
+def _setup_jax():
     import jax
 
     cache_dir = os.environ.get(
@@ -408,41 +548,114 @@ def main():
     # claim the device before timing (the axon chip claim can take minutes
     # right after another process released it)
     jnp.zeros(()).block_until_ready()
+    return jax
 
-    aux = dict(backend=jax.default_backend())
-    headline = _bench_matvec(
-        int(os.environ.get("BENCH_N", "10000")), 8, 1e-3, aux, tiled=True
-    )
+
+def _row_registry():
+    small_n = int(os.environ.get("BENCH_N", "10000"))
+    return {
+        "kernel_smoke": lambda aux: _bench_kernel_smoke(aux),
+        f"matvec_n{small_n}": lambda aux: _bench_matvec(small_n, 8, 1e-3, aux, tiled=True),
+        "matvec_n100000": lambda aux: _bench_matvec(100_000, 8, 1e-3, aux, tiled=True),
+        "complex_matvec_n100000": lambda aux: _bench_complex_matvec(100_000, 8, 1e-3, aux),
+        "blr_n10000": lambda aux: _bench_blr(10_000, 1e-4, aux),
+        "blr2_n10000": lambda aux: _bench_blr2(10_000, 1e-4, aux),
+        "blr2_n100000": lambda aux: _bench_blr2(100_000, 1e-4, aux),
+        "ddm_n100000": lambda aux: _bench_ddm(100_000, aux),
+        "weak_scaling_static": lambda aux: _bench_weak_scaling_static(small_n, aux),
+    }
+
+
+def _row_names():
+    small_n = int(os.environ.get("BENCH_N", "10000"))
+    names = ["kernel_smoke", f"matvec_n{small_n}"]
     if os.environ.get("BENCH_SKIP_LARGE", "0") != "1":
-        try:
-            _bench_matvec(100_000, 8, 1e-3, aux, tiled=True)
-        except Exception as e:  # pragma: no cover - chip-memory dependent
-            aux["matvec_n100000"] = {"error": repr(e)[:200]}
-        try:
-            _bench_complex_matvec(100_000, 8, 1e-3, aux)
-        except Exception as e:
-            aux["complex_matvec_n100000"] = {"error": repr(e)[:200]}
+        names += ["matvec_n100000", "complex_matvec_n100000"]
         if os.environ.get("BENCH_FLAT_BLR", "0") == "1":
-            try:
-                _bench_blr(10_000, 1e-4, aux)
-            except Exception as e:
-                aux["blr_n10000"] = {"error": repr(e)[:200]}
-        try:
-            _bench_blr2(10_000, 1e-4, aux)
-        except Exception as e:
-            aux["blr2_n10000"] = {"error": repr(e)[:200]}
-        try:
-            _bench_blr2(100_000, 1e-4, aux)
-        except Exception as e:
-            aux["blr2_n100000"] = {"error": repr(e)[:200]}
-        try:
-            _bench_ddm(100_000, aux)
-        except Exception as e:
-            aux["ddm_n100000"] = {"error": repr(e)[:200]}
+            names.append("blr_n10000")
+        names += ["blr2_n10000", "blr2_n100000", "ddm_n100000"]
+    names.append("weak_scaling_static")
+    return names
+
+
+_ROW_SENTINEL = "##BENCH_ROW_RESULT## "
+
+
+def _run_row_inline(name):
+    """Child-process entry: run one row, print its result as a JSON line."""
+    jax = _setup_jax()
+    aux = {"_backend": jax.default_backend()}
+    err = None
     try:
-        _bench_weak_scaling_static(int(os.environ.get("BENCH_N", "10000")), aux)
+        _row_registry()[name](aux)
     except Exception as e:
-        aux["weak_scaling_static"] = {"error": repr(e)[:200]}
+        err = repr(e)[:300]
+    print(
+        _ROW_SENTINEL
+        + json.dumps({"aux": aux, "violations": _VIOLATIONS, "error": err})
+    )
+    sys.stdout.flush()
+    # nonzero when the row errored so the parent retries it
+    sys.exit(1 if err else 0)
+
+
+def _run_row_subprocess(name, timeout_s=_ROW_TIMEOUT_S, retries=1):
+    """Run one row isolated; returns (aux_fragment, violations, error)."""
+    last_err = None
+    for attempt in range(retries + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--row", name],
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"row timed out after {timeout_s}s"
+            continue
+        payload = None
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith(_ROW_SENTINEL):
+                payload = json.loads(line[len(_ROW_SENTINEL):])
+                break
+        if payload is None:
+            tail = (proc.stderr or proc.stdout or "")[-300:]
+            last_err = f"row produced no result (rc={proc.returncode}): {tail}"
+            continue
+        if payload["error"] is None:
+            return payload["aux"], payload["violations"], None
+        last_err = payload["error"]
+        print(
+            f"[bench] row {name} attempt {attempt + 1} failed: {last_err}",
+            file=sys.stderr,
+        )
+    return {}, [], last_err
+
+
+def main():
+    rows = _row_names()
+    aux = {"backend": None}
+    headline = None
+    small_n = int(os.environ.get("BENCH_N", "10000"))
+    for name in rows:
+        t0 = time.perf_counter()
+        frag, violations, err = _run_row_subprocess(name)
+        wall = time.perf_counter() - t0
+        backend = frag.pop("_backend", None)
+        if aux["backend"] is None and backend:
+            aux["backend"] = backend
+        if err is not None:
+            aux[name] = {"error": err}
+            _VIOLATIONS.append(f"{name}: {err[:150]}")
+        else:
+            aux.update(frag)
+        print(f"[bench] {name}: {wall:.1f}s", file=sys.stderr)
+        if name == f"matvec_n{small_n}" and "error" not in aux.get(name, {}):
+            headline = aux.get(name, {}).get("compressed_entries_per_s")
+        _VIOLATIONS.extend(violations)
+
+    aux["backend"] = aux.get("backend") or "unknown"
 
     print(json.dumps(aux), file=sys.stderr)
 
@@ -450,6 +663,9 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
     )
     vs = 1.0
+    if headline is None:
+        headline = 0.0
+        _VIOLATIONS.append("headline matvec row missing")
     if os.path.exists(base_path):
         try:
             base = json.load(open(base_path))
@@ -469,11 +685,15 @@ def main():
         )
     )
     if _VIOLATIONS:
-        # accuracy contract broken: fail AFTER all rows are printed so the
-        # numbers are still recorded (reference contract: error < epsilon)
-        print("ACCURACY VIOLATIONS: " + "; ".join(_VIOLATIONS), file=sys.stderr)
+        # accuracy contract broken or rows errored: fail AFTER all rows are
+        # printed so the numbers are still recorded (reference contract:
+        # error < epsilon, test_hmatrix_build.hpp:191)
+        print("BENCH VIOLATIONS: " + "; ".join(_VIOLATIONS), file=sys.stderr)
         sys.exit(1)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--row":
+        _run_row_inline(sys.argv[2])
+    else:
+        main()

@@ -63,15 +63,37 @@ class KernelGenerator(Generator):
         self.source_points = jnp.asarray(source_points)
         self.shape = (self.target_points.shape[0], self.source_points.shape[0])
         if dtype is None:
-            probe = kernel(self.target_points[0], self.source_points[-1])
-            dtype = jnp.asarray(probe).dtype
+            # eval_shape: dtype inference with zero device work (an eager
+            # probe would put the kernel's complex constants on the device,
+            # which some TPU runtimes cannot transfer — see utils/cxfer.py)
+            probe = jax.eval_shape(
+                kernel,
+                jax.ShapeDtypeStruct(
+                    self.target_points.shape[1:], self.target_points.dtype
+                ),
+                jax.ShapeDtypeStruct(
+                    self.source_points.shape[1:], self.source_points.dtype
+                ),
+            )
+            dtype = probe.dtype
         self.dtype = dtype
 
-    def block(self, rows, cols):
+    def _block_impl(self, rows, cols):
         tx = self.target_points[rows]  # [..., m, d]
         sy = self.source_points[cols]  # [..., n, d]
         out = self.kernel(tx[..., :, None, :], sy[..., None, :, :])
         return out.astype(self.dtype)
+
+    def block(self, rows, cols):
+        if isinstance(rows, jax.core.Tracer) or isinstance(cols, jax.core.Tracer):
+            return self._block_impl(rows, cols)
+        # eager call sites go through jit so kernel constants (e.g. complex
+        # scalars) compile into the program instead of being device_put.
+        # lazy: pytree unflattening bypasses __init__ (object.__new__)
+        jit_fn = self.__dict__.get("_block_jit")
+        if jit_fn is None:
+            jit_fn = self._block_jit = jax.jit(self._block_impl)
+        return jit_fn(jnp.asarray(rows), jnp.asarray(cols))
 
 
 class SubsetGenerator(Generator):
@@ -111,7 +133,9 @@ class MatrixGenerator(Generator):
     (``testing/generator_test.hpp:207-221``)."""
 
     def __init__(self, matrix):
-        self.matrix = jnp.asarray(matrix)
+        from .utils.cxfer import to_device
+
+        self.matrix = to_device(matrix)
         self.shape = tuple(self.matrix.shape)
         self.dtype = self.matrix.dtype
 

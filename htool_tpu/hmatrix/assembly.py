@@ -205,8 +205,10 @@ def _compress_escalating(
         w *= 2
     w = min(w, rmax) if rmax >= 1 else 1
     dtype = generator.dtype
-    U = jnp.zeros((nb, bm, w), dtype)
-    V = jnp.zeros((nb, w, bn), dtype)
+    from ..utils.cxfer import czeros
+
+    U = czeros((nb, bm, w), dtype)
+    V = czeros((nb, w, bn), dtype)
     for sel, Uc, Vc in results:
         cw = min(w, Uc.shape[2])
         U = U.at[sel, :, :cw].set(Uc[:, :, :cw])

@@ -1566,7 +1566,12 @@ def blr_backward_error(A: BLRMatrix, F: BLRMatrix, n_probe: int = 4,
     rng = np.random.default_rng(seed)
     z = jnp.asarray(rng.standard_normal((A.n, n_probe)))
     if jnp.issubdtype(A.dtype, jnp.complexfloating):
-        z = z + 1j * jnp.asarray(rng.standard_normal((A.n, n_probe)))
+        # lax.complex: an eager `z + 1j*w` would device_put a host complex
+        # scalar, unsupported on some TPU runtimes (utils/cxfer.py)
+        rt = np.finfo(np.dtype(A.dtype)).dtype
+        z = jax.lax.complex(
+            z.astype(rt), jnp.asarray(rng.standard_normal((A.n, n_probe)), rt)
+        )
     az = blr_matvec(A, z)
     fz = _factor_matvec(F, z)
     num = jnp.linalg.norm(az - fz)

@@ -1122,7 +1122,12 @@ def blr2_backward_error(A: TwoLevelBLR, F: TwoLevelBLR, n_probe: int = 4,
     rng = np.random.default_rng(seed)
     z = jnp.asarray(rng.standard_normal((A.n, n_probe)))
     if jnp.issubdtype(A.dtype, jnp.complexfloating):
-        z = z + 1j * jnp.asarray(rng.standard_normal((A.n, n_probe)))
+        # lax.complex: an eager `z + 1j*w` would device_put a host complex
+        # scalar, unsupported on some TPU runtimes (utils/cxfer.py)
+        rt = np.finfo(np.dtype(A.dtype)).dtype  # matching real dtype
+        z = jax.lax.complex(
+            z.astype(rt), jnp.asarray(rng.standard_normal((A.n, n_probe)), rt)
+        )
     az = blr2_matvec(A, z)
     if F.diag_mode == "dense" and F.kind == "lu":
         fz = _factor_apply(F, z)

@@ -329,7 +329,9 @@ def matvec_user(h: HMatrix, x, op: str = "N"):
     """Product in USER numbering (global): permute in, product, permute out
     (``add_hmatrix_vector_product.hpp:172-206``).  Only valid for global
     (non-partition-restricted) H-matrices."""
-    x = jnp.asarray(x)
+    from ..utils.cxfer import czeros, to_device
+
+    x = to_device(x)
     squeeze = x.ndim == 1
     if squeeze:
         x = x[:, None]
@@ -342,7 +344,7 @@ def matvec_user(h: HMatrix, x, op: str = "N"):
     out_perm = h.perm_t if op == "N" else h.perm_s
     xc = x[in_perm]
     yc = matvec(h, xc, op=op)
-    y = jnp.zeros_like(yc).at[out_perm].set(yc)
+    y = czeros(yc.shape, yc.dtype).at[out_perm].set(yc)
     return y[:, 0] if squeeze else y
 
 

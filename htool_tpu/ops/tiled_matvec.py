@@ -323,7 +323,9 @@ def apply_complex_plans(plan_pack, x_pad, sigma: float, k: int, real_dtype):
         Y1 = tiled_bucket_matvec(pre, x2, real_dtype)
         Y2 = tiled_bucket_matvec(pim, x2, real_dtype)
         yr, yi = combine(Y1, Y2)
-        return yr + 1j * yi
+        # lax.complex, NOT yr + 1j*yi: the latter device_puts a host complex
+        # scalar when called eagerly, which some TPU runtimes cannot do
+        return jax.lax.complex(yr, yi)
     pAr, pAi, pBr, pBi = plan_pack.plans
     T1 = tiled_bucket_matvec(pAr, x2, real_dtype)
     T2 = tiled_bucket_matvec(pAi, x2, real_dtype)
@@ -332,7 +334,7 @@ def apply_complex_plans(plan_pack, x_pad, sigma: float, k: int, real_dtype):
     Y1 = tiled_bucket_matvec(pBr, s2, real_dtype)
     Y2 = tiled_bucket_matvec(pBi, s2, real_dtype)
     yr, yi = combine(Y1, Y2)
-    return yr + 1j * yi
+    return jax.lax.complex(yr, yi)
 
 
 def complex_plans_ok(plan_pack, k: int, real_dtype) -> bool:
