@@ -3,12 +3,8 @@
 analog): SVD vs fullACA vs partialACA error-vs-rank curves on a kernel
 block between two clouds at increasing distance."""
 
-import csv
 import os
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
+import csv
 import jax.numpy as jnp
 import numpy as np
 

@@ -4,10 +4,6 @@ cluster tree over a sphere, save it, reload it, dump the clustered
 geometry for plotting."""
 
 import os
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
 import numpy as np
 
 import htool_tpu as ht

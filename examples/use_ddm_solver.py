@@ -2,11 +2,6 @@
 """Full DDM pipeline (examples/use_ddm_solver.cpp:59-136 analog): sphere →
 cluster tree → H-matrix → CG/GMRES with RAS and two-level GenEO."""
 
-import os
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
 import numpy as np
 
 import htool_tpu as ht

@@ -12,11 +12,6 @@ Run on any device count (emulates 8 CPU devices when no mesh hardware):
         python examples/use_distributed_ddm.py
 """
 
-import os
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
 import jax
 
 if jax.device_count() < 2:

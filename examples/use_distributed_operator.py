@@ -6,11 +6,6 @@ Run with emulated devices:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 python examples/use_distributed_operator.py
 """
 
-import os
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
 import jax
 import numpy as np
 

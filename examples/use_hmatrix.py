@@ -4,10 +4,6 @@ kernel matrix on a sphere, check the error, print info, dump the block
 structure."""
 
 import os
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
 import numpy as np
 
 import htool_tpu as ht

@@ -28,7 +28,12 @@ if _prec != "default":
 from .clustering.cluster_tree import ClusterTree, ClusterTreeBuilder, build_cluster_tree
 from .generator import Generator, KernelGenerator, MatrixGenerator
 from .hmatrix.aca import batched_partial_aca
-from .hmatrix.assembly import HMatrixBuilder, assemble_from_plan, build_hmatrix
+from .hmatrix.assembly import (
+    HMatrixBuilder,
+    assemble_from_plan,
+    build_hmatrix,
+    hmatrix_from_dense,
+)
 from .hmatrix.block_tree import BlockTreePlan, plan_block_tree
 from .hmatrix.hmatrix import DenseBucket, HMatrix, LowRankBucket
 from .hmatrix.info import hmatrix_info, print_hmatrix_information
@@ -54,6 +59,7 @@ from .hmatrix.conversion import (
     to_blr2,
 )
 from .hmatrix.output import load_hmatrix, save_hmatrix
+from .utils.cxfer import to_device, to_host
 
 __version__ = "0.1.0"
 
@@ -99,4 +105,6 @@ __all__ = [
     "common_grid_blr",
     "save_hmatrix",
     "load_hmatrix",
+    "to_device",
+    "to_host",
 ]

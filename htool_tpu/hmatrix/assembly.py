@@ -466,10 +466,14 @@ class HMatrixBuilder:
         compressor="partial_aca",
         recompress: bool = False,
         partition_number_for_symmetry: int = -1,
+        admissibility=None,
     ):
         self.compressor = compressor
         self.recompress = recompress
         self.partition_number_for_symmetry = partition_number_for_symmetry
+        # pluggable VirtualAdmissibilityCondition hook
+        # (virtual_admissibility_condition.hpp:17-24); None = RjasanowSteinbach
+        self.admissibility = admissibility
         self.epsilon = epsilon
         self.eta = eta
         self.symmetry = symmetry
@@ -502,6 +506,7 @@ class HMatrixBuilder:
             block_tree_consistency=self.block_tree_consistency,
             partition_number_for_symmetry=self.partition_number_for_symmetry,
             source_partition=source_partition,
+            admissibility=self.admissibility,
         )
         plan_time = time.perf_counter() - t0
         h = assemble_from_plan(
@@ -548,7 +553,9 @@ def hmatrix_from_dense(
 
     ``A`` is in CLUSTER numbering and spans the (partition-restricted)
     target/source ranges of ``tree``."""
-    A = jnp.asarray(A)
+    from ..utils.cxfer import czeros, to_device
+
+    A = to_device(A)
     offs, sizes = tree.partition_offsets_sizes()
     t_off = int(offs[target_partition]) if target_partition >= 0 else 0
     t_size = int(sizes[target_partition]) if target_partition >= 0 else tree.n_points
@@ -560,7 +567,7 @@ def hmatrix_from_dense(
         )
     bm = max(8, -(-t_size // 8) * 8)
     bn = max(8, -(-s_size // 8) * 8)
-    data = jnp.zeros((1, bm, bn), A.dtype).at[0, :t_size, :s_size].set(A)
+    data = czeros((1, bm, bn), A.dtype).at[0, :t_size, :s_size].set(A)
     bucket = DenseBucket(
         data=data,
         t_off=jnp.asarray([t_off], jnp.int32),

@@ -92,12 +92,22 @@ def plan_block_tree(
     backend: str = "auto",
     partition_number_for_symmetry: int = -1,
     source_partition: int = -1,
+    admissibility=None,
 ) -> BlockTreePlan:
     """Plan the admissibility-pruned block tree (tree_builder.hpp:417-531).
 
     ``leaf_level``: treat cluster nodes at this depth as leaves, producing a
     uniform-grid (BLR-style) plan where every leaf is a depth-``leaf_level``
     cell pair; implies min depths >= leaf_level.
+
+    ``admissibility``: pluggable condition — the
+    ``VirtualAdmissibilityCondition`` hook
+    (``hmatrix/interfaces/virtual_admissibility_condition.hpp:17-24``).  A
+    callable ``(t_center, t_radius, s_center, s_radius, eta) -> bool`` with
+    the :func:`rjasanow_steinbach` signature; ``None`` uses
+    RjasanowSteinbach (the reference default).  Custom conditions run
+    through the host python recursion (the native planner only evaluates
+    the built-in condition).
 
     ``source_partition`` (with ``target_partition``) restricts the plan to
     the (target, source) partition block — the recursion starts at the two
@@ -198,6 +208,15 @@ def plan_block_tree(
         # partition-pair restriction runs the (host) python recursion from
         # the partition roots; these plans are small by construction
         backend = "python"
+    if admissibility is not None:
+        if backend == "native":
+            raise ValueError(
+                "custom admissibility conditions require the python planner "
+                "(backend='auto' or 'python')"
+            )
+        backend = "python"
+    else:
+        admissibility = rjasanow_steinbach
 
     if backend in ("auto", "native"):
         from ..native import bt_plan_native
@@ -245,7 +264,7 @@ def plan_block_tree(
         t, s = stack.pop()
         t_leaf = t_is_leaf(t)
         s_leaf = s_is_leaf(s)
-        admissible = rjasanow_steinbach(
+        admissible = admissibility(
             tt.centers[t], tt.radii[t], st.centers[s], st.radii[s], eta
         )
 

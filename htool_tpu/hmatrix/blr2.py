@@ -928,6 +928,52 @@ def _k2_solve_bwd_lu(Dd, pU, pV, y):
 
 
 @precise_jit
+def _k2_solve_fwd_lu_trans(Dd, pU, pV, b):
+    """Forward sweep of Aᵀ x = b: Ûᵀ y = b (lower triangular).
+
+    Ûᵀ block (K, J<K) = (U_JK·V_JK)ᵀ — the stored strict-upper pairs read
+    by COLUMN K; the diagonal is U_Kᵀ (factorization.hpp:256-272 trans
+    surface)."""
+    nC = Dd.shape[0]
+
+    def body(y, K):
+        mask = (jnp.arange(nC) < K)[:, None, None].astype(pU.dtype)
+        # (U_JK V_JK)ᵀ y_J = V_JKᵀ (U_JKᵀ y_J), batched over J
+        t = jnp.einsum("jpr,jpk->jrk", pU[:, K] * mask, y)
+        contrib = jnp.einsum("jrp,jrk->pk", pV[:, K], t)
+        yK = jax.scipy.linalg.solve_triangular(
+            Dd[K], y[K] - contrib, lower=False, trans="T"
+        )
+        return y.at[K].set(yK), None
+
+    y, _ = jax.lax.scan(body, b, jnp.arange(nC))
+    return y
+
+
+@precise_jit
+def _k2_solve_bwd_lu_trans(Dd, perms, pU, pV, y):
+    """Backward sweep of Aᵀ x = b: L̂ᵀ x = y (unit upper triangular).
+
+    L̂ᵀ block (K, J>K) = (U_JK·V_JK)ᵀ (stored strict-lower pairs by column
+    K); the diagonal is (P_Kᵀ L_K)ᵀ = L_Kᵀ P_K, so w = L_K^{-ᵀ} r and
+    x_K = P_Kᵀ w = w[argsort(perm_K)]."""
+    nC = Dd.shape[0]
+    inv = jnp.argsort(perms, axis=1)
+
+    def body(x, K):
+        mask = (jnp.arange(nC) > K)[:, None, None].astype(pU.dtype)
+        t = jnp.einsum("jpr,jpk->jrk", pU[:, K] * mask, x)
+        contrib = jnp.einsum("jrp,jrk->pk", pV[:, K], t)
+        w = jax.scipy.linalg.solve_triangular(
+            Dd[K], x[K] - contrib, lower=True, trans="T", unit_diagonal=True
+        )
+        return x.at[K].set(w[inv[K]]), None
+
+    x, _ = jax.lax.scan(body, y, jnp.arange(nC - 1, -1, -1))
+    return x
+
+
+@precise_jit
 def _k2_solve_fwd_chol(Dd, pU, pV, b):
     nC = Dd.shape[0]
 
@@ -995,9 +1041,24 @@ def blr2_solve(F: TwoLevelBLR, rhs, user_numbering: bool = False,
     cholesky_solve surface, ``factorization.hpp:119-128,245-273``)."""
     if not F.factorized:
         raise ValueError("call blr2_lu / blr2_cholesky first")
+    if trans not in ("N", "T", "C"):
+        raise ValueError("trans must be 'N', 'T' or 'C'")
+    from ..utils.cxfer import to_device
+
+    rhs = to_device(rhs)
     if trans != "N":
-        raise NotImplementedError("blr2_solve: only trans='N' (extend on demand)")
-    rhs = jnp.asarray(rhs)
+        # reductions (factorization.hpp:256-272 trans surface):
+        # chol:  A = L̂·L̂ᴴ hermitian  =>  Aᴴ = A ('C'≡'N'); Aᵀ = conj(A), so
+        #        x = conj(A⁻¹ conj(b))
+        # lu 'C': Aᴴ x = b  <=>  Aᵀ conj(x) = conj(b)
+        if F.kind == "chol":
+            if trans == "C":
+                return blr2_solve(F, rhs, user_numbering, "N")
+            return jnp.conj(
+                blr2_solve(F, jnp.conj(rhs), user_numbering, "N")
+            )
+        if trans == "C":
+            return jnp.conj(blr2_solve(F, jnp.conj(rhs), user_numbering, "T"))
     squeeze = rhs.ndim == 1
     if squeeze:
         rhs = rhs[:, None]
@@ -1009,6 +1070,9 @@ def blr2_solve(F: TwoLevelBLR, rhs, user_numbering: bool = False,
         if F.kind == "chol":
             y = _k2_solve_fwd_chol(F.Dd, F.pU, F.pV, b)
             x = _k2_solve_bwd_chol(F.Dd, F.pU, F.pV, y)
+        elif trans == "T":
+            y = _k2_solve_fwd_lu_trans(F.Dd, F.pU, F.pV, b)
+            x = _k2_solve_bwd_lu_trans(F.Dd, F.perms, F.pU, F.pV, y)
         else:
             y = _k2_solve_fwd_lu(F.Dd, F.perms, F.pU, F.pV, b)
             x = _k2_solve_bwd_lu(F.Dd, F.pU, F.pV, y)
@@ -1016,34 +1080,55 @@ def blr2_solve(F: TwoLevelBLR, rhs, user_numbering: bool = False,
         nC, P = F.nC, F.P
         pU, pV = F.pU, F.pV
 
-        def _diag_solve(K, r, which):
+        def _diag_solve(K, r, which, tr="N"):
             sz = int(F.panel_size[K])
-            xK = blr_triangular_solve(F.diag[K], r[:sz], which=which, trans="N")
+            xK = blr_triangular_solve(F.diag[K], r[:sz], which=which, trans=tr)
             if sz < P:
                 xK = jnp.concatenate([xK, jnp.zeros((P - sz, xK.shape[1]), xK.dtype)])
             return xK
 
-        y = b
-        # forward: L̂ y = b; panel row K reads pairs (K, J<K) — for Cholesky
-        # the lower pairs hold L directly
-        for K in range(nC):
-            mask = (jnp.arange(nC) < K)[:, None, None].astype(pU.dtype)
-            contrib = jnp.einsum("jpr,jrq,jqk->pk", pU[K] * mask, pV[K], y)
-            y = y.at[K].set(_diag_solve(K, y[K] - contrib, "L").astype(y.dtype))
-        x = y
-        # backward: Û x = y; for Cholesky Û = L^H, row K reads (J>K, K)^H
-        for K in range(nC - 1, -1, -1):
-            if F.kind == "chol":
-                maskJ = (jnp.arange(nC) > K)[:, None, None]
-                UH = jnp.conj(jnp.swapaxes(pV[:, K], 1, 2))  # [j, P, R]
-                VH = jnp.conj(jnp.swapaxes(pU[:, K], 1, 2))  # [j, R, P]
-                contrib = jnp.einsum(
-                    "jpr,jrq,jqk->pk", UH * maskJ.astype(UH.dtype), VH, x
+        def col_contrib(K, v, cmp):
+            # Σ_J (U_JK·V_JK)ᵀ v_J over the stored COLUMN K (trans sweeps)
+            mask = (cmp(jnp.arange(nC), K))[:, None, None].astype(pU.dtype)
+            t = jnp.einsum("jpr,jpk->jrk", pU[:, K] * mask, v)
+            return jnp.einsum("jrp,jrk->pk", pV[:, K], t)
+
+        if trans == "T" and F.kind == "lu":
+            # Aᵀ = Ûᵀ·L̂ᵀ: forward through Ûᵀ (lower), backward through L̂ᵀ
+            y = b
+            for K in range(nC):
+                contrib = col_contrib(K, y, jnp.less)
+                y = y.at[K].set(
+                    _diag_solve(K, y[K] - contrib, "U", "T").astype(y.dtype)
                 )
-            else:
-                mask = (jnp.arange(nC) > K)[:, None, None].astype(pU.dtype)
-                contrib = jnp.einsum("jpr,jrq,jqk->pk", pU[K] * mask, pV[K], x)
-            x = x.at[K].set(_diag_solve(K, x[K] - contrib, "U").astype(x.dtype))
+            x = y
+            for K in range(nC - 1, -1, -1):
+                contrib = col_contrib(K, x, jnp.greater)
+                x = x.at[K].set(
+                    _diag_solve(K, x[K] - contrib, "L", "T").astype(x.dtype)
+                )
+        else:
+            y = b
+            # forward: L̂ y = b; panel row K reads pairs (K, J<K) — for
+            # Cholesky the lower pairs hold L directly
+            for K in range(nC):
+                mask = (jnp.arange(nC) < K)[:, None, None].astype(pU.dtype)
+                contrib = jnp.einsum("jpr,jrq,jqk->pk", pU[K] * mask, pV[K], y)
+                y = y.at[K].set(_diag_solve(K, y[K] - contrib, "L").astype(y.dtype))
+            x = y
+            # backward: Û x = y; for Cholesky Û = L^H, row K reads (J>K, K)^H
+            for K in range(nC - 1, -1, -1):
+                if F.kind == "chol":
+                    maskJ = (jnp.arange(nC) > K)[:, None, None]
+                    UH = jnp.conj(jnp.swapaxes(pV[:, K], 1, 2))  # [j, P, R]
+                    VH = jnp.conj(jnp.swapaxes(pU[:, K], 1, 2))  # [j, R, P]
+                    contrib = jnp.einsum(
+                        "jpr,jrq,jqk->pk", UH * maskJ.astype(UH.dtype), VH, x
+                    )
+                else:
+                    mask = (jnp.arange(nC) > K)[:, None, None].astype(pU.dtype)
+                    contrib = jnp.einsum("jpr,jrq,jqk->pk", pU[K] * mask, pV[K], x)
+                x = x.at[K].set(_diag_solve(K, x[K] - contrib, "U").astype(x.dtype))
 
     out = _panels_unpack(F, x)
     if user_numbering:
@@ -1066,7 +1151,9 @@ def _k2_matvec(pU, pV, xc):
 def blr2_matvec(A: TwoLevelBLR, x):
     """y = A x in cluster numbering (one batched kernel for the panels,
     one for the diagonal)."""
-    x = jnp.asarray(x)
+    from ..utils.cxfer import to_device
+
+    x = to_device(x)
     squeeze = x.ndim == 1
     if squeeze:
         x = x[:, None]

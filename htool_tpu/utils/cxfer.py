@@ -83,8 +83,10 @@ def ceye(n, dtype):
 
 
 def to_device(x, dtype=None):
-    """``jnp.asarray`` that transfers complex input as two float planes."""
-    if isinstance(x, jax.Array) and not isinstance(x, jax.core.Tracer):
+    """``jnp.asarray`` that transfers complex input as two float planes.
+
+    Tracers (callers running under an outer jit) pass straight through."""
+    if isinstance(x, (jax.Array, jax.core.Tracer)):
         return x if dtype is None else x.astype(dtype)
     x = np.asarray(x)
     tgt = jnp.dtype(dtype) if dtype is not None else None

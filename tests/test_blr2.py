@@ -102,6 +102,49 @@ def test_blr2_complex_lu():
     assert np.linalg.norm(xs - x) / np.linalg.norm(x) < 1e-6
 
 
+@pytest.mark.parametrize("diag_mode", ["dense", "blr"])
+@pytest.mark.parametrize("trans", ["T", "C"])
+def test_blr2_solve_trans(diag_mode, trans):
+    """Transposed/conjugate solve on the two-level factorization
+    (factorization.hpp:256-272 supports trans N/T/C; VERDICT r3 item 3)."""
+    n = 900
+    _, tree, gen, Ad = _case(laplace_kernel_symmetric, n)
+    A = build_blr2(gen, tree, epsilon=1e-9, coarse_size=256, block_size=64,
+                   diag_mode=diag_mode)
+    F = blr2_lu(A, error_estimate=False)
+    x = _rhs(n, 2)
+    op = Ad.T.conj() if trans == "C" else Ad.T
+    b = op @ x
+    xs = np.asarray(blr2_solve(F, b, user_numbering=True, trans=trans))
+    assert np.linalg.norm(xs - x) / np.linalg.norm(x) < 1e-6
+
+
+@pytest.mark.parametrize("trans", ["T", "C"])
+def test_blr2_solve_trans_complex(trans):
+    n = 900
+    _, tree, gen, Ad = _case(laplace_kernel_complex_symmetric, n)
+    A = build_blr2(gen, tree, epsilon=1e-9, coarse_size=256, block_size=64)
+    F = blr2_lu(A, error_estimate=False)
+    x = _rhs(n, 2, complex_=True)
+    op = Ad.T.conj() if trans == "C" else Ad.T
+    b = op @ x
+    xs = np.asarray(blr2_solve(F, b, user_numbering=True, trans=trans))
+    assert np.linalg.norm(xs - x) / np.linalg.norm(x) < 1e-6
+
+
+def test_blr2_cholesky_solve_trans():
+    """Hermitian factorization: 'C' ≡ 'N'; 'T' solves the conjugate system."""
+    n = 900
+    _, tree, gen, Ad = _case(laplace_kernel_symmetric, n)
+    A = build_blr2(gen, tree, epsilon=1e-9, coarse_size=256, block_size=64)
+    F = blr2_cholesky(A)
+    x = _rhs(n, 2)
+    for trans in ("T", "C"):
+        b = Ad.T @ x  # real symmetric: op(A) = A for every trans
+        xs = np.asarray(blr2_solve(F, b, user_numbering=True, trans=trans))
+        assert np.linalg.norm(xs - x) / np.linalg.norm(x) < 1e-6
+
+
 def test_blr2_guards():
     n = 600
     _, tree, gen, _ = _case(laplace_kernel_symmetric, n)

@@ -149,3 +149,33 @@ def test_recompressed_assembly_lowers_rank():
     err = np.linalg.norm(Hr.to_dense() - A) / np.linalg.norm(A)
     assert err < 5e-6
     assert ht.hmatrix_info(Hr)["rank_mean"] <= ht.hmatrix_info(H)["rank_mean"]
+
+
+def test_custom_admissibility_condition():
+    """Pluggable VirtualAdmissibilityCondition hook
+    (virtual_admissibility_condition.hpp:17-24): a custom callable drives
+    the block-tree pruning through the python planner."""
+    n = 600
+    pts = create_sphere(n)
+    gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=50)
+    calls = []
+
+    def strict(tc, tr, sc, sr, eta):
+        calls.append(1)
+        # stricter than RjasanowSteinbach: admissible only at 3x separation
+        d = float(np.linalg.norm(tc - sc))
+        return 2.0 * min(tr, sr) < (eta / 3.0) * max(d - tr - sr, 0.0)
+
+    H = ht.build_hmatrix(
+        gen, tree, epsilon=1e-4, eta=10.0, admissibility=strict
+    )
+    assert calls, "custom condition was never evaluated"
+    A = np.asarray(gen.to_dense())
+    assert rel_fro(H.to_dense(), A) < 1e-4
+    # stricter condition => fewer admissible (more dense) blocks than default
+    H0 = ht.build_hmatrix(gen, tree, epsilon=1e-4, eta=10.0)
+    assert H.info["n_low_rank_blocks"] <= H0.info["n_low_rank_blocks"]
+    # the native planner cannot evaluate python callables
+    with pytest.raises(ValueError):
+        ht.plan_block_tree(tree, eta=10.0, admissibility=strict, backend="native")
