@@ -53,6 +53,7 @@ from .hmatrix.conversion import (
     hmatrix_hmatrix_product,
     lu_factorization,
     lu_solve,
+    permute_blr,
     recompress_hmatrix,
     retile_blr,
     to_blr,
@@ -102,6 +103,7 @@ __all__ = [
     "cholesky_solve",
     "hmatrix_hmatrix_product",
     "retile_blr",
+    "permute_blr",
     "common_grid_blr",
     "save_hmatrix",
     "load_hmatrix",

@@ -39,6 +39,7 @@ from .hmatrix import HMatrix, LowRankBucket
 __all__ = [
     "recompress_hmatrix",
     "retile_blr",
+    "permute_blr",
     "common_grid_blr",
     "to_blr",
     "to_blr2",
@@ -428,6 +429,112 @@ def retile_blr(
     )
 
 
+def permute_blr(
+    X: BLRMatrix,
+    q: np.ndarray,
+    cell_off: np.ndarray,
+    cell_size: np.ndarray,
+    b: Optional[int] = None,
+    epsilon: Optional[float] = None,
+    R_half: Optional[int] = None,
+    permutation: Optional[np.ndarray] = None,
+) -> BLRMatrix:
+    """Re-express a BLR matrix under an index permutation onto a new grid:
+    ``X'[q[i], q[j]] = X[i, j]``.
+
+    This is the mixed-CLUSTER-TREE mechanism: operands assembled over
+    different trees live in different cluster numberings related by a
+    permutation; the reference's H×H product splits recursion until the
+    trees align (``add_hmatrix_hmatrix_product.hpp:31-74``), and the flat
+    equivalent re-tiles one operand into the other tree's numbering.  The
+    slab walk evaluates ``b`` permuted rows at a time from the stored
+    cells (no generator re-evaluation) and compresses each target cell by
+    batched SVD at ``epsilon`` (dense when not advantageous) —
+    O(n²/b·compressed) work, O(n·b) transient memory."""
+    q = np.asarray(q, np.int64)
+    if q.shape[0] != X.n:
+        raise ValueError(f"permutation has {q.shape[0]} entries, matrix {X.n}")
+    cell_off = np.asarray(cell_off, np.int64)
+    cell_size = np.asarray(cell_size, np.int64)
+    if int(cell_size.sum()) != X.n:
+        raise ValueError(
+            f"target grid covers {int(cell_size.sum())} rows, matrix has {X.n}"
+        )
+    if b is None:
+        b = max(8, int(-(-int(cell_size.max()) // 8) * 8))
+    qinv = np.argsort(q)
+    dtype = np.asarray(jnp.zeros((), X.dtype)).dtype
+    eps = X.epsilon if epsilon is None else float(epsilon)
+    if R_half is None:
+        # storage width is 2*R_half per LR cell: b//4 keeps an LR cell at
+        # most half the dense cell footprint
+        R_half = max(8, int(-(-(b // 4) // 8) * 8))
+
+    Dh = np.asarray(X.D)
+    Uh = np.asarray(X.U)
+    Vh = np.asarray(X.V)
+    rk = np.asarray(X.ranks)
+    src_off = np.asarray(X.cell_off, np.int64)
+    src_end = src_off + np.asarray(X.cell_size, np.int64)
+
+    def gather_rows(rows):
+        """Dense slab X[rows, :] from the stored cells (src numbering)."""
+        S = np.zeros((rows.shape[0], X.n), dtype)
+        ci = np.searchsorted(src_end, rows, side="right")
+        for i in np.unique(ci):
+            sel = np.nonzero(ci == i)[0]
+            loc = rows[sel] - src_off[i]
+            for j in range(X.nL):
+                c = X.cls[i, j]
+                if c == ZERO:
+                    continue
+                oj, sj = int(src_off[j]), int(src_end[j] - src_off[j])
+                if c == DENSE:
+                    S[sel, oj : oj + sj] = Dh[X.dense_slot[i, j]][loc, :sj]
+                else:
+                    s = X.lr_slot[i, j]
+                    r = int(rk[s])
+                    S[sel, oj : oj + sj] = Uh[s][loc, :r] @ Vh[s, :r, :sj]
+        return S
+
+    nL = cell_off.shape[0]
+    contribs: dict = {}
+    for I in range(nL):
+        oI, sI = int(cell_off[I]), int(cell_size[I])
+        S = gather_rows(qinv[oI : oI + sI])[:, qinv]  # target numbering
+        # classify this block-row's cells: batched SVD, trailing-energy rank
+        blocks = [
+            S[:, int(cell_off[J]) : int(cell_off[J] + cell_size[J])]
+            for J in range(nL)
+        ]
+        wid = max(blk.shape[1] for blk in blocks)
+        stack = np.zeros((nL, sI, wid), dtype)
+        for J, blk in enumerate(blocks):
+            stack[J, :, : blk.shape[1]] = blk
+        Us, sv, Vts = np.linalg.svd(stack, full_matrices=False)
+        tail = np.sqrt(
+            np.maximum(np.cumsum(sv[:, ::-1] ** 2, axis=1)[:, ::-1], 0.0)
+        )
+        total = np.maximum(tail[:, 0], 1e-300)
+        for J, blk in enumerate(blocks):
+            # smallest rank with trailing energy below eps (SVD_truncation.hpp:14-55)
+            keep = np.nonzero(tail[J] <= eps * total[J])[0]
+            r = int(keep[0]) if keep.size else sv.shape[1]
+            if 0 < r <= R_half and r * (sI + blk.shape[1]) < sI * blk.shape[1]:
+                Ur = (Us[J, :, :r] * sv[J, :r][None, :]).astype(dtype)
+                Vr = Vts[J, :r, : blk.shape[1]].astype(dtype)
+                contribs.setdefault((I, J), []).append(("LR", (Ur, Vr), (0, 0)))
+            elif np.any(blk):
+                contribs.setdefault((I, J), []).append(("D", blk, (0, 0)))
+
+    info = dict(X.info)
+    info.update(n_cells=nL, permuted=True)
+    perm = X.permutation if permutation is None else permutation
+    return _assemble_blr_cells(
+        contribs, cell_off, cell_size, b, R_half, eps, dtype, perm, info
+    )
+
+
 def common_grid_blr(A: BLRMatrix, B: BLRMatrix):
     """Bring two BLR operands onto a common grid (the coarser of the two —
     larger cells keep the re-tile lossless and the cell count low).
@@ -750,10 +857,36 @@ def hmatrix_hmatrix_product(
     tree: ClusterTree,
     epsilon: Optional[float] = None,
     block_size: int = 256,
+    tree_b: Optional[ClusterTree] = None,
 ) -> BLRMatrix:
-    """Compressed product of two assembled H-matrices over the same cluster
-    tree (reference ``internal_add_hmatrix_hmatrix_product`` → HMatrix,
-    ``hmatrix/linalg/add_hmatrix_hmatrix_product.hpp:210``)."""
+    """Compressed product of two assembled H-matrices (reference
+    ``internal_add_hmatrix_hmatrix_product`` → HMatrix,
+    ``hmatrix/linalg/add_hmatrix_hmatrix_product.hpp:210``).
+
+    ``tree`` is A's cluster tree; pass ``tree_b`` when B was assembled over
+    a DIFFERENT tree — B is then re-expressed in A's cluster numbering via
+    :func:`permute_blr` before the compressed product (the reference
+    handles inconsistent trees by recursion-time splitting,
+    ``add_hmatrix_hmatrix_product.hpp:31-74``).  The result lives on A's
+    tree/grid in either case."""
     Fa = to_blr(A, tree, block_size=block_size, epsilon=epsilon)
-    Fb = to_blr(B, tree, block_size=block_size, epsilon=epsilon)
+    if tree_b is not None and not np.array_equal(
+        np.asarray(tree_b.permutation), np.asarray(tree.permutation)
+    ):
+        Fb = to_blr(B, tree_b, block_size=block_size, epsilon=epsilon)
+        # numbering map: tree_b cluster index -> tree cluster index
+        q = np.argsort(np.asarray(tree.permutation))[
+            np.asarray(tree_b.permutation)
+        ]
+        Fb = permute_blr(
+            Fb,
+            q,
+            np.asarray(Fa.cell_off),
+            np.asarray(Fa.cell_size),
+            b=Fa.b,
+            epsilon=epsilon,
+            permutation=Fa.permutation,
+        )
+    else:
+        Fb = to_blr(B, tree_b or tree, block_size=block_size, epsilon=epsilon)
     return blr_matmul(Fa, Fb, epsilon)
