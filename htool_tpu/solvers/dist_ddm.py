@@ -415,15 +415,30 @@ class DistributedDDMSolver:
         if coarse is not None:
             self.infos["Coarse_correction"] = coarse_correction
             self.infos["Coarse_size"] = int(coarse.size)
-            # coarse basis in local layout: GenEO Z is interior-supported,
-            # so each device holds its partition's rows [m_loc_max, nc]
-            Zl = np.zeros((Pn, dop.m_loc_max, int(coarse.size)),
-                          np.asarray(coarse.Z).dtype)
-            Znp = np.asarray(coarse.Z)
-            for p in range(Pn):
-                off, sz = int(offs[p]), int(sizes[p])
-                Zl[p, :sz] = Znp[off : off + sz]
-            self._Z_loc = self._shard(jnp.asarray(Zl))
+            if coarse.Z_loc is not None:
+                # sharded GenEO store: per-device COMPACT columns
+                # [m_loc_max, nu_max]; device p's coarse slots are
+                # [p*nu_max, (p+1)*nu_max) — nothing [N, nc]-sized exists
+                Zc = np.asarray(coarse.Z_loc)
+                sz_max = Zc.shape[1]
+                if sz_max < dop.m_loc_max:
+                    Zc = np.concatenate(
+                        [Zc, np.zeros((Pn, dop.m_loc_max - sz_max,
+                                       Zc.shape[2]), Zc.dtype)], axis=1
+                    )
+                self._Z_loc = self._shard(jnp.asarray(Zc[:, : dop.m_loc_max]))
+                self._coarse_compact = True
+            else:
+                # replicated store: each device holds its partition's rows
+                # of the full [N, nc] basis
+                Zl = np.zeros((Pn, dop.m_loc_max, int(coarse.size)),
+                              np.asarray(coarse.Z).dtype)
+                Znp = np.asarray(coarse.Z)
+                for p in range(Pn):
+                    off, sz = int(offs[p]), int(sizes[p])
+                    Zl[p, :sz] = Znp[off : off + sz]
+                self._Z_loc = self._shard(jnp.asarray(Zl))
+                self._coarse_compact = False
         else:
             self._Z_loc = None
 
@@ -610,14 +625,39 @@ class DistributedDDMSolver:
                     return z_int
 
                 if coarse is not None:
-                    Zl = coarse_sl[0][0].astype(dtype)  # [m_loc_max, nc]
+                    Zl = coarse_sl[0][0].astype(dtype)
+                    if getattr(self, "_coarse_compact", False):
+                        # compact sharded store: Zl [m_loc_max, nu_max];
+                        # device p owns coarse slots [p*nu_max, ...) — μ is
+                        # embedded at the device's slot offset and psum'd
+                        # (coarse_operator_builder.hpp:18-129 distributed)
+                        nu_max = coarse.nu_max
+                        nc_pad = coarse.Z_loc.shape[0] * nu_max
 
-                    def Q(r_sl):
-                        mu = jax.lax.psum(jnp.conj(Zl).T @ r_sl, ax)
-                        e = jax.scipy.linalg.lu_solve(
-                            (coarse.E_lu.astype(dtype), coarse.E_piv), mu
-                        )
-                        return Zl @ e
+                        def Q(r_sl):
+                            mu_l = jnp.conj(Zl).T @ r_sl  # [nu_max, k]
+                            off = jax.lax.axis_index(ax) * nu_max
+                            zero = jnp.zeros((), off.dtype)
+                            mu = jax.lax.dynamic_update_slice(
+                                jnp.zeros((nc_pad, k), mu_l.dtype), mu_l,
+                                (off, zero),
+                            )
+                            mu = jax.lax.psum(mu, ax)
+                            e = jax.scipy.linalg.lu_solve(
+                                (coarse.E_lu.astype(dtype), coarse.E_piv), mu
+                            )
+                            return Zl @ jax.lax.dynamic_slice(
+                                e, (off, zero), (nu_max, k)
+                            )
+                    else:
+                        # replicated store: Zl [m_loc_max, nc]
+
+                        def Q(r_sl):
+                            mu = jax.lax.psum(jnp.conj(Zl).T @ r_sl, ax)
+                            e = jax.scipy.linalg.lu_solve(
+                                (coarse.E_lu.astype(dtype), coarse.E_piv), mu
+                            )
+                            return Zl @ e
 
                     if correction == "additive":
                         M = lambda r: M1(r) + Q(r)

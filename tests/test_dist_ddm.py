@@ -162,3 +162,56 @@ def test_per_device_memory_scaling(grid_case):
     assert halo.n_ext_max < N / 2
     assert ds._lu.shape == (Pn, halo.n_ext_max, halo.n_ext_max)
     assert len(ds._lu.sharding.device_set) == Pn
+
+
+@pytest.mark.parametrize("correction", ["additive", "deflated", "balanced"])
+def test_dist_two_level_geneo_sharded_store(grid_case, correction):
+    """store='local' GenEO (VERDICT r3 item 9): no [N, nc] basis is ever
+    materialized — Z stays as per-partition column blocks, E is assembled
+    by partition-chunked sub-products, and the sharded solver embeds the
+    per-device mu at its slot offset.  Iteration counts must match the
+    replicated store exactly."""
+    c = grid_case
+    A_apply = lambda x: h_matvec(c["H"], x, op="N")
+    cs_rep = build_geneo_coarse_space(c["gen"], c["tree"], c["overlap"],
+                                      A_apply, nu=4, symmetry="S")
+    cs_loc = build_geneo_coarse_space(c["gen"], c["tree"], c["overlap"],
+                                      A_apply, nu=4, symmetry="S",
+                                      store="local")
+    assert cs_loc.Z is None and cs_loc.Z_loc is not None
+    assert cs_loc.size == cs_rep.size
+    # the coarse correction operator agrees between the stores
+    r = np.random.RandomState(3).randn(c["A"].shape[0], 2)
+    q_rep = np.asarray(cs_rep.coarse_solve(r))
+    q_loc = np.asarray(cs_loc.coarse_solve(r))
+    assert np.linalg.norm(q_rep - q_loc) / np.linalg.norm(q_rep) < 1e-5
+
+    ref = DDMSolver(c["H"], c["gen"], c["tree"], schwarz="ras",
+                    overlap=c["overlap"], coarse=cs_rep,
+                    coarse_correction=correction)
+    _, i_ref = ref.solve(c["b"], tol=TOL, maxiter=500, krylov="gmres")
+    ds = DistributedDDMSolver(c["dop"], c["gen"], c["tree"], schwarz="ras",
+                              overlap=c["overlap"], coarse=cs_loc,
+                              coarse_correction=correction)
+    x, infos = ds.solve(c["b"], tol=TOL, maxiter=500, krylov="gmres")
+    assert infos["Converged"]
+    assert infos["Nb_it"] == i_ref["Nb_it"], (infos, i_ref)
+    res = np.linalg.norm(c["A"] @ np.asarray(x) - c["b"]) / np.linalg.norm(c["b"])
+    assert res < 100 * TOL
+
+
+def test_geneo_evp_chunking_matches(grid_case):
+    """A tiny EVP workspace budget forces many chunks; the coarse space
+    must be identical to the single-batch build."""
+    c = grid_case
+    A_apply = lambda x: h_matvec(c["H"], x, op="N")
+    cs1 = build_geneo_coarse_space(c["gen"], c["tree"], c["overlap"],
+                                   A_apply, nu=3, symmetry="S")
+    cs2 = build_geneo_coarse_space(c["gen"], c["tree"], c["overlap"],
+                                   A_apply, nu=3, symmetry="S",
+                                   evp_budget_bytes=1)  # 1 subdomain/chunk
+    assert cs2.size == cs1.size
+    r = np.random.RandomState(5).randn(c["A"].shape[0], 2)
+    q1 = np.asarray(cs1.coarse_solve(r))
+    q2 = np.asarray(cs2.coarse_solve(r))
+    assert np.linalg.norm(q1 - q2) / np.linalg.norm(q1) < 1e-5
