@@ -128,6 +128,22 @@ _ACA_CAPS = (64, 256)  # escalating rank caps before the full advantage bound
 _ACA_STOP_FACTOR = 0.5
 
 
+@partial(jax.jit, static_argnames=("cw",), donate_argnums=(0, 1))
+def _place_chunk(U, V, Uc, Vc, dst, src, *, cw):
+    """One fused placement kernel per (bucket, cap) pass — replaces ~10
+    tiny eager-op compiles (gather/slice/scatter/convert) per chunk, which
+    dominate cold assembly on remote-compile TPU paths."""
+    U = U.at[dst, :, :cw].set(Uc[src, :, :cw].astype(U.dtype))
+    V = V.at[dst, :cw, :].set(Vc[src, :cw, :].astype(V.dtype))
+    return U, V
+
+
+@partial(jax.jit, static_argnames=("bm8", "bn8", "rc"))
+def _class_slice(U, V, sel, *, bm8, bn8, rc):
+    """Fused storage-class restriction (one compile per class)."""
+    return U[sel, :bm8, :rc], V[sel, :rc, :bn8]
+
+
 def _compress_escalating(
     compress, generator, rows, cols, t_szs, s_szs, epsilon, rmax, reqrank
 ):
@@ -145,7 +161,16 @@ def _compress_escalating(
     (bucket, cap): chunks are padded to a common size).
 
     Returns (U [nb, m, w], V [nb, w, n], rank [nb] np, failed [nb] np) with
-    ``w`` the smallest pow2 covering the realized ranks."""
+    ``w`` the smallest pow2 covering the realized ranks.
+
+    Compile discipline (the cold-assembly cost on remote-compile TPU paths
+    is dominated by the NUMBER of distinct compiled shapes, not device
+    time): all index bookkeeping stays in host NumPy, every chunk of a
+    (bucket, cap) pass is padded to ONE common pow2 size, and the result
+    placement uses fixed-length padded gathers/scatters — so each pass
+    compiles exactly one ACA kernel and one placement kernel."""
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
     nb, bm = rows.shape
     bn = cols.shape[1]
     itemsize = jnp.dtype(generator.dtype).itemsize
@@ -158,7 +183,7 @@ def _compress_escalating(
     rank = np.zeros(nb, np.int64)
     failed = np.ones(nb, bool)
     pending = np.ones(nb, bool)
-    results = []  # (global idx, U chunk, V chunk, cap)
+    results = []  # (scatter idx [csz], gather idx [csz], U chunk, V chunk)
 
     for cap in caps:
         idx = np.nonzero(pending)[0]
@@ -170,19 +195,17 @@ def _compress_escalating(
         while p * 2 <= chunk:
             p *= 2
         chunk = p
-        for lo in range(0, idx.size, chunk):
-            sel = idx[lo : lo + chunk]
-            # pad the (final, partial) chunk to the pow2 of ITS size — full
-            # ACA runs on padding blocks are pure waste
-            csz = 1
-            while csz < sel.size:
-                csz *= 2
+        csz = 1  # ONE padded chunk size for the whole pass
+        while csz < min(chunk, idx.size):
+            csz *= 2
+        for lo in range(0, idx.size, csz):
+            sel = idx[lo : lo + csz]
             padn = csz - sel.size
             sel_pad = np.concatenate([sel, np.full(padn, sel[-1], sel.dtype)])
             Uc, Vc, rk, fl = compress(
                 generator,
-                rows[sel_pad],
-                cols[sel_pad],
+                jnp.asarray(rows[sel_pad], jnp.int32),
+                jnp.asarray(cols[sel_pad], jnp.int32),
                 jnp.asarray(t_szs[sel_pad], jnp.int32),
                 jnp.asarray(s_szs[sel_pad], jnp.int32),
                 epsilon,
@@ -196,7 +219,15 @@ def _compress_escalating(
             failed[sel[ok]] = False
             pending[sel[ok]] = False
             if ok.any():
-                results.append((sel[ok], Uc[: sel.size][ok], Vc[: sel.size][ok]))
+                # fixed-length placement: pad gather/scatter indices with a
+                # repeat of the last successful block (duplicate scatter
+                # targets receive the same value — deterministic)
+                src = np.nonzero(ok)[0]
+                dst = sel[src]
+                padk = csz - src.size
+                src = np.concatenate([src, np.full(padk, src[-1], src.dtype)])
+                dst = np.concatenate([dst, np.full(padk, dst[-1], dst.dtype)])
+                results.append((dst, src, Uc, Vc))
 
     # assemble final buffers at the tight pow2 width
     w = 8
@@ -209,10 +240,14 @@ def _compress_escalating(
 
     U = czeros((nb, bm, w), dtype)
     V = czeros((nb, w, bn), dtype)
-    for sel, Uc, Vc in results:
+    for dst, src, Uc, Vc in results:
         cw = min(w, Uc.shape[2])
-        U = U.at[sel, :, :cw].set(Uc[:, :, :cw])
-        V = V.at[sel, :cw, :].set(Vc[:, :cw, :])
+        U, V = _place_chunk(
+            U, V, Uc, Vc,
+            jnp.asarray(np.asarray(dst, np.int32)),
+            jnp.asarray(np.asarray(src, np.int32)),
+            cw=cw,
+        )
     return U, V, rank, failed
 
 
@@ -273,8 +308,9 @@ def assemble_from_plan(
         t_szs = np.array([l.t_size for l in leaves], dtype=np.int64)
         s_szs = np.array([l.s_size for l in leaves], dtype=np.int64)
 
-        rows = jnp.asarray(_block_indices(perm_t, t_offs, t_szs, bm), jnp.int32)
-        cols = jnp.asarray(_block_indices(perm_s, s_offs, s_szs, bn), jnp.int32)
+        # host NumPy: chunk slicing in _compress_escalating stays on host
+        rows = _block_indices(perm_t, t_offs, t_szs, bm).astype(np.int32)
+        cols = _block_indices(perm_s, s_offs, s_szs, bn).astype(np.int32)
 
         # advantage bound caps the useful rank (partialACA.hpp:84)
         max_useful = int(np.max((t_szs * s_szs) // (t_szs + s_szs))) + 1
@@ -355,12 +391,16 @@ def assemble_from_plan(
                 sel = np.array(idxs)
                 rc = _pad_rank(int(rank[sel].max()))
                 rc_eff = min(rc, rmax)
+                Uc, Vc = _class_slice(
+                    U, V, jnp.asarray(np.asarray(sel, np.int32)),
+                    bm8=bm8, bn8=bn8, rc=rc_eff,
+                )
                 lr_buckets.append(
                     LowRankBucket(
-                        U=U[sel, :bm8, :rc_eff],
-                        V=V[sel, :rc_eff, :bn8],
-                        t_off=jnp.asarray(t_offs[sel], jnp.int32),
-                        s_off=jnp.asarray(s_offs[sel], jnp.int32),
+                        U=Uc,
+                        V=Vc,
+                        t_off=jnp.asarray(t_offs[sel].astype(np.int32)),
+                        s_off=jnp.asarray(s_offs[sel].astype(np.int32)),
                         t_sizes=t_szs[sel],
                         s_sizes=s_szs[sel],
                         ranks=rank[sel],

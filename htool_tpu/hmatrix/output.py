@@ -196,8 +196,10 @@ def save_hmatrix(h: HMatrix, filename: str, include_plans: bool = True) -> None:
         n_dense=np.array([len(h.dense_buckets)]),
         n_lr=np.array([len(h.lr_buckets)]),
     )
+    from ..utils.cxfer import to_host
+
     for k, b in enumerate(h.dense_buckets):
-        payload[f"d{k}_data"] = np.asarray(b.data)
+        payload[f"d{k}_data"] = to_host(b.data)
         payload[f"d{k}_t_off"] = np.asarray(b.t_off)
         payload[f"d{k}_s_off"] = np.asarray(b.s_off)
         payload[f"d{k}_t_sizes"] = np.asarray(b.t_sizes)
@@ -206,8 +208,8 @@ def save_hmatrix(h: HMatrix, filename: str, include_plans: bool = True) -> None:
         if include_plans:
             _pack_bucket_plans(payload, f"d{k}", b)
     for k, b in enumerate(h.lr_buckets):
-        payload[f"l{k}_U"] = np.asarray(b.U)
-        payload[f"l{k}_V"] = np.asarray(b.V)
+        payload[f"l{k}_U"] = to_host(b.U)
+        payload[f"l{k}_V"] = to_host(b.V)
         payload[f"l{k}_t_off"] = np.asarray(b.t_off)
         payload[f"l{k}_s_off"] = np.asarray(b.s_off)
         payload[f"l{k}_t_sizes"] = np.asarray(b.t_sizes)
@@ -222,11 +224,13 @@ def save_hmatrix(h: HMatrix, filename: str, include_plans: bool = True) -> None:
 def load_hmatrix(filename: str) -> HMatrix:
     import jax.numpy as jnp
 
+    from ..utils.cxfer import to_device
+
     z = np.load(filename, allow_pickle=False)
     dense, lr = [], []
     for k in range(int(z["n_dense"][0])):
         b = DenseBucket(
-            data=jnp.asarray(z[f"d{k}_data"]),
+            data=to_device(z[f"d{k}_data"]),
             t_off=jnp.asarray(z[f"d{k}_t_off"]),
             s_off=jnp.asarray(z[f"d{k}_s_off"]),
             t_sizes=z[f"d{k}_t_sizes"],
@@ -237,8 +241,8 @@ def load_hmatrix(filename: str) -> HMatrix:
         dense.append(b)
     for k in range(int(z["n_lr"][0])):
         b = LowRankBucket(
-            U=jnp.asarray(z[f"l{k}_U"]),
-            V=jnp.asarray(z[f"l{k}_V"]),
+            U=to_device(z[f"l{k}_U"]),
+            V=to_device(z[f"l{k}_V"]),
             t_off=jnp.asarray(z[f"l{k}_t_off"]),
             s_off=jnp.asarray(z[f"l{k}_s_off"]),
             t_sizes=z[f"l{k}_t_sizes"],
