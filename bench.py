@@ -539,7 +539,9 @@ def _setup_jax():
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # persist EVERYTHING: on the remote-compile relay even trivial op
+        # compiles cost seconds, and they dominate cold assembly
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 

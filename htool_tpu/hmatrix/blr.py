@@ -44,6 +44,7 @@ from .aca import batched_partial_aca
 from .block_tree import plan_block_tree
 from .compressors import batched_recompress
 from ..utils.precision import precise_jit
+from ..utils.cxfer import to_device
 
 __all__ = [
     "BLRMatrix",
@@ -1110,7 +1111,9 @@ def blr_solve(F: BLRMatrix, rhs, user_numbering: bool = False,
     batched kernel (``_k_block_sweep``)."""
     if not F.factorized:
         raise ValueError("matrix is not factorized; call blr_lu first")
-    rhs = jnp.asarray(rhs)
+    from ..utils.cxfer import to_device
+
+    rhs = to_device(rhs)
     squeeze = rhs.ndim == 1
     if squeeze:
         rhs = rhs[:, None]
@@ -1160,10 +1163,10 @@ def blr_triangular_solve(F: BLRMatrix, B, which: str = "L", side: str = "L",
     if isinstance(B, tuple):
         Ub, Vb = B
         if side == "L":
-            return blr_triangular_solve(F, jnp.asarray(Ub), which, "L", trans), Vb
-        return Ub, blr_triangular_solve(F, jnp.asarray(Vb), which, "R", trans)
+            return blr_triangular_solve(F, to_device(Ub), which, "L", trans), Vb
+        return Ub, blr_triangular_solve(F, to_device(Vb), which, "R", trans)
 
-    B = jnp.asarray(B)
+    B = to_device(B)
     if side == "R":
         # X op(T) = B  <=>  op(T)^T X^T = B^T ; 'C' via the conj trick
         if trans == "C":
@@ -1224,7 +1227,7 @@ def _k_blr_matvec(D, U, V, xc, d_i, d_j, d_slot, l_i, l_j, l_slot, Rh):
 
 def blr_matvec(A: BLRMatrix, x):
     """y = A x in cluster numbering: one batched kernel over all cells."""
-    x = jnp.asarray(x)
+    x = to_device(x)
     squeeze = x.ndim == 1
     if squeeze:
         x = x[:, None]

@@ -117,7 +117,9 @@ class DistributedHMatrix:
         """Global-to-global product in USER numbering: all ranks hold the
         global vector (``add_distributed_operator_vector_product_global_to_
         global.hpp:96-118``)."""
-        x = jnp.asarray(x)
+        from ..utils.cxfer import to_device
+
+        x = to_device(x)
         squeeze = x.ndim == 1
         if squeeze:
             x = x[:, None]

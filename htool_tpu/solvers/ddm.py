@@ -379,7 +379,9 @@ class DDMSolver:
         x0=None,
     ):
         """Solve A x = b in USER numbering.  Returns (x, infos)."""
-        b = jnp.asarray(b)
+        from ..utils.cxfer import to_device
+
+        b = to_device(b)
         squeeze = b.ndim == 1
         if squeeze:
             b = b[:, None]

@@ -539,7 +539,9 @@ class DistributedDDMSolver:
         d = self.dop
         mesh, ax = d.mesh, d.axis_name
         halo = self.halo
-        b = jnp.asarray(b)
+        from ..utils.cxfer import to_device
+
+        b = to_device(b)
         squeeze = b.ndim == 1
         if squeeze:
             b = b[:, None]
