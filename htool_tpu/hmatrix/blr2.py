@@ -392,7 +392,7 @@ def build_blr2(
     generator: Generator,
     tree: ClusterTree,
     epsilon: float = 1e-6,
-    coarse_size: int = 4096,
+    coarse_size: Optional[int] = None,
     R: Optional[int] = None,
     diag_mode: str = "auto",
     block_size: int = 512,
@@ -408,7 +408,14 @@ def build_blr2(
 
     ``R`` is the stored panel rank cap; pairs whose ε-rank exceeds it are
     re-compressed after a global cap escalation (``auto_escalate`` rounds),
-    mirroring :func:`..hmatrix.blr.blr_lu`'s accuracy guard."""
+    mirroring :func:`..hmatrix.blr.blr_lu`'s accuracy guard.
+
+    ``coarse_size=None`` scales the panel size with the problem
+    (pow2(n/16) clamped to [4096, 16384]): panel-pair memory grows as
+    nC²·P·R = (n/P)²·P·R, so larger problems need LARGER panels to fit
+    HBM, and interface panel ranks grow only mildly with P."""
+    if coarse_size is None:
+        coarse_size = min(16384, max(4096, _pow2(tree.n_points // 16)))
     cells, offs, szs, level = _grid_cells(tree, coarse_size)
     nC = len(cells)
     if nC < 2:
@@ -518,20 +525,20 @@ def build_blr2(
 # ======================================================================
 
 
-@precise_jit
+@partial(precise_jit, donate_argnums=(0,))
 def _k2_lu_diag(Dd, k):
     """LU of diagonal panel k; returns (Dd with LU stored, row perm [P])."""
     lu, _, p = jax.lax.linalg.lu(Dd[k])
     return Dd.at[k].set(lu), p
 
 
-@precise_jit
+@partial(precise_jit, donate_argnums=(0,))
 def _k2_chol_diag(Dd, k):
     L = jnp.linalg.cholesky(Dd[k])
     return Dd.at[k].set(L)
 
 
-@precise_jit
+@partial(precise_jit, donate_argnums=(0,))
 def _k2_col_panel(pV, Dd, k, idxI):
     """V_IK <- V_IK · U_K^{-1} for the stacked active rows I (LU path)."""
     Uk = Dd[k]
@@ -542,7 +549,7 @@ def _k2_col_panel(pV, Dd, k, idxI):
     return pV.at[idxI, k].set(jnp.swapaxes(Xt, 1, 2))
 
 
-@precise_jit
+@partial(precise_jit, donate_argnums=(0,))
 def _k2_row_panel(pU, Dd, perm_k, k, idxJ):
     """U_KJ <- L_K^{-1} · P_K^T · U_KJ for the stacked active cols J."""
     Lk = Dd[k]
@@ -555,7 +562,7 @@ def _k2_row_panel(pU, Dd, perm_k, k, idxJ):
     return pU.at[k, idxJ].set(X)
 
 
-@precise_jit
+@partial(precise_jit, donate_argnums=(0,))
 def _k2_col_panel_chol(pV, Dd, k, idxI):
     """V_IK <- V_IK · L_K^{-H} (Cholesky path)."""
     Lk = Dd[k]
@@ -566,7 +573,7 @@ def _k2_col_panel_chol(pV, Dd, k, idxI):
     return pV.at[idxI, k].set(jnp.conj(jnp.swapaxes(Xh, 1, 2)))
 
 
-@partial(precise_jit, static_argnames=("herm",))
+@partial(precise_jit, static_argnames=("herm",), donate_argnums=(0, 1, 2, 7))
 def _k2_schur_offdiag(pU, pV, pRank, k, pi, pj, eps, capped, herm=False):
     """Fused Schur update + re-truncation on active off-diagonal pairs:
     ``A_IJ -= (U_IK V_IK)(U_KJ V_KJ)`` (or ``(U_JK V_JK)^H`` when ``herm``),
@@ -600,7 +607,7 @@ def _k2_schur_offdiag(pU, pV, pRank, k, pi, pj, eps, capped, herm=False):
     return pU, pV, pRank, capped
 
 
-@partial(precise_jit, static_argnames=("herm",))
+@partial(precise_jit, static_argnames=("herm",), donate_argnums=(0,))
 def _k2_schur_diag_dense(Dd, pU, pV, k, idxI, valid, herm=False):
     """Dense diagonal absorption: ``D_I -= (U_IK V_IK)(U_KI V_KI)``.
 
@@ -620,7 +627,7 @@ def _k2_schur_diag_dense(Dd, pU, pV, k, idxI, valid, herm=False):
     return Dd.at[idxI].add(-contrib)
 
 
-@partial(precise_jit, static_argnames=("herm",))
+@partial(precise_jit, static_argnames=("herm",), donate_argnums=(0, 1, 2))
 def _k2_pending_append(peU, peV, peRank, k, idxI, pU, pV, eps, herm=False):
     """BLR-diag mode: append the step-k diagonal Schur contribution of the
     active panels to their pending low-rank update, re-truncated."""
@@ -670,7 +677,7 @@ def _active_sets(nC, k):
 # byte budget for one Schur-update launch (Wu/Wv concatenations + the
 # batched QR/SVD workspace of the fused re-truncation); pairs are chunked
 # to stay under it — see the chunked loop in _factorize
-_SCHUR_CHUNK_BUDGET = int(2e9)
+_SCHUR_CHUNK_BUDGET = int(1e9)  # QR workspace runs ~5x beyond the estimate
 
 
 def _blr_apply_pending(B: BLRMatrix, Uc, Vc, eps):
@@ -711,16 +718,22 @@ def _factorize(A: TwoLevelBLR, eps: float, kind: str,
     nC, P, R = A.nC, A.P, A.R
     herm = kind == "chol"
     t0 = time.perf_counter()
-    pU, pV, pRank = A.pU, A.pV, A.pRank
+    # working COPIES: the in-loop kernels donate their panel buffers
+    # (without donation every .at[].set launch holds input+output copies of
+    # the multi-GB arrays — observed RESOURCE_EXHAUSTED at n=100k), and
+    # donation would otherwise invalidate the caller-visible A
+    pU = jnp.array(A.pU, copy=True)
+    pV = jnp.array(A.pV, copy=True)
+    pRank = jnp.array(A.pRank, copy=True)
     capped = jnp.zeros((nC, nC), jnp.int32)
     # per-step truncation error accumulates over the nC elimination steps
     # (measured: backward error ~ nC*eps when truncating at eps), so
     # intermediates truncate at eps/nC to land the FACTORIZATION at ~eps
     eps_int = eps / max(1, nC)
-    eps_arr = jnp.asarray(eps_int, np.asarray(jnp.zeros((), A.pU.dtype)).real.dtype)
+    eps_arr = jnp.asarray(eps_int, np.finfo(np.dtype(A.pU.dtype)).dtype)
 
     if A.diag_mode == "dense":
-        Dd = A.Dd
+        Dd = jnp.array(A.Dd, copy=True)  # diag kernels donate their buffer
         perms = jnp.tile(jnp.arange(P, dtype=jnp.int32)[None], (nC, 1))
         diag = None
         peU = peV = peRank = None
@@ -728,8 +741,10 @@ def _factorize(A: TwoLevelBLR, eps: float, kind: str,
         Dd = None
         perms = None
         diag = list(A.diag)
-        peU = jnp.zeros((nC, P, R), A.dtype)
-        peV = jnp.zeros((nC, R, P), A.dtype)
+        from ..utils.cxfer import czeros
+
+        peU = czeros((nC, P, R), A.dtype)
+        peV = czeros((nC, R, P), A.dtype)
         peRank = jnp.zeros((nC,), jnp.int32)
 
     for K in range(nC):
