@@ -221,6 +221,38 @@ def _build_blr_schwarz(
     )
 
 
+# compile-complexity budget for one batched-LU program: some TPU compile
+# backends crash on vmapped pivoted-LU programs past ~5e14 batch*n^3
+# (observed: [16, 6715, 6715] and even [2, 6715, 6715] kill the remote
+# compile helper while [1, 6715, 6715] and [16, 3000, 3000] compile fine)
+_BATCH_LU_BUDGET = 3.5e14
+
+
+def _chunked_batch_lu(A_loc):
+    """Batched LU factorization in compile-bounded chunks (one compiled
+    shape per chunk size; the last chunk pads by repeating its first
+    matrix)."""
+    P, n = int(A_loc.shape[0]), int(A_loc.shape[1])
+    chunk = max(1, min(int(_BATCH_LU_BUDGET / float(n) ** 3), P))
+    c = 1
+    while c * 2 <= chunk:
+        c *= 2
+    chunk = c
+    if chunk >= P:
+        return jax.vmap(partial(jax.scipy.linalg.lu_factor))(A_loc)
+    lus, pivs = [], []
+    for lo in range(0, P, chunk):
+        sel = np.arange(lo, min(lo + chunk, P))
+        pad = chunk - sel.size
+        gat = jnp.asarray(
+            np.concatenate([sel, np.repeat(sel[:1], pad)]), jnp.int32
+        )
+        lu_c, piv_c = jax.vmap(partial(jax.scipy.linalg.lu_factor))(A_loc[gat])
+        lus.append(lu_c[: sel.size])
+        pivs.append(piv_c[: sel.size])
+    return jnp.concatenate(lus), jnp.concatenate(pivs)
+
+
 def _build_schwarz(
     generator: Generator,
     tree: ClusterTree,
@@ -267,7 +299,7 @@ def _build_schwarz(
     eye = jnp.eye(n_max, dtype=A_loc.dtype)[None]
     A_loc = A_loc + jnp.where(valid[:, :, None], 0, eye)
 
-    lu, piv = jax.vmap(partial(jax.scipy.linalg.lu_factor))(A_loc)
+    lu, piv = _chunked_batch_lu(A_loc)
 
     return SchwarzPreconditioner(
         n_global=N,

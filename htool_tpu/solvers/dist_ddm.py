@@ -482,7 +482,9 @@ class DistributedDDMSolver:
         A_loc = jnp.where(vm[:, :, None] & vm[:, None, :], A_loc, 0)
         eye = jnp.eye(self.halo.n_ext_max, dtype=A_loc.dtype)[None]
         A_loc = A_loc + jnp.where(vm[:, :, None], 0, eye)
-        lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(A_loc)
+        from .ddm import _chunked_batch_lu
+
+        lu, piv = _chunked_batch_lu(A_loc)
         self._lu = self._shard(lu)
         self._piv = self._shard(piv)
         self.infos["Local_size_max"] = int(self.halo.n_ext_max)
