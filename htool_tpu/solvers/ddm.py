@@ -223,9 +223,10 @@ def _build_blr_schwarz(
 
 # compile-complexity budget for one batched-LU program: some TPU compile
 # backends crash on vmapped pivoted-LU programs past ~5e14 batch*n^3
-# (observed: [16, 6715, 6715] and even [2, 6715, 6715] kill the remote
-# compile helper while [1, 6715, 6715] and [16, 3000, 3000] compile fine)
-_BATCH_LU_BUDGET = 3.5e14
+# (observed: [16, 6715, 6715] and even [2, 6715, 6715] = 6.1e11 kill the
+# remote compile helper while [1, 6715, 6715] = 3.0e11 and
+# [16, 3000, 3000] = 4.3e11 compile fine)
+_BATCH_LU_BUDGET = 3.5e11
 
 
 def _chunked_batch_lu(A_loc):
