@@ -383,7 +383,11 @@ def _bench_ddm(n, aux):
 
     dtype = np.float32
     eps = 1e-3
-    P = 16
+    # 64 subdomains: the dense local factors ([P, n_ext, n_ext]) live
+    # INSIDE the jitted Krylov loop; at P=16 (n_ext~6.7k) the loop
+    # program needs ~20 GB of HLO temps and cannot compile on a 16 GB
+    # chip — subdomain count is the granularity knob (utility.hpp:56)
+    P = 64
     tol = 1e-6
     pts = create_points(n)
     gen = ht.KernelGenerator(kernel(), pts.astype(dtype), pts.astype(dtype))
