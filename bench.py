@@ -31,6 +31,12 @@ retried once to absorb transient relay flakiness.  Row errors and
 accuracy violations are LOUD: they are recorded per row AND fail the
 bench with a nonzero exit after all rows have printed.
 
+RESULTS STREAM: after every row the cumulative aux JSON is printed to
+stderr (and BENCH_AUX.json rewritten) and a fresh headline JSON line is
+printed to stdout, so a driver kill preserves all completed rows; rows
+run most-important-first (DDM flagship right after the headline) under a
+global wall budget (BENCH_TOTAL_BUDGET_S, default 1500 s).
+
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}
 (headline = 10k matvec compressed entries/s vs our recorded
 bench_baseline.json) plus all auxiliary metrics on stderr.  The
@@ -596,6 +602,49 @@ def _bench_blr(n, eps, aux):
     )
 
 
+def _bench_assembly_cold(n, aux):
+    """True COLD assembly: the subprocess env points the persistent XLA
+    compile cache at a fresh temp dir (set by the parent, see
+    _run_row_subprocess), so every kernel compiles from scratch.  Records
+    the real first-user experience the warm rows hide (VERDICT r4 weak #5:
+    r3 cold = 602 s at 10k; commit 5f830f1 claims 158 -> 22 compiles)."""
+    import jax
+
+    import htool_tpu as ht
+
+    dtype = np.float32
+    eps = 1e-3
+    pts = create_points(n)
+    gen = ht.KernelGenerator(kernel(), pts.astype(dtype), pts.astype(dtype))
+    tree = ht.build_cluster_tree(pts, max_leaf_size=256)
+    n_compiles = [0]
+    try:
+        from jax._src import monitoring
+
+        def _count(event, **kw):
+            if "compil" in event:
+                n_compiles[0] += 1
+
+        monitoring.register_event_listener(_count)
+    except Exception:
+        pass
+    t0 = time.perf_counter()
+    H = ht.build_hmatrix(gen, tree, epsilon=eps, eta=10.0)
+    jax.block_until_ready([b.data for b in H.dense_buckets])
+    t_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    H2 = ht.build_hmatrix(gen, tree, epsilon=eps, eta=10.0)
+    jax.block_until_ready([b.data for b in H2.dense_buckets])
+    t_warm = time.perf_counter() - t0
+    aux[f"assembly_cold_n{n}"] = dict(
+        n=n,
+        assembly_cold_s=t_cold,
+        assembly_warm_s=t_warm,
+        n_compile_events=n_compiles[0],
+        cache_dir=os.environ.get("HTOOL_TPU_COMPILE_CACHE", ""),
+    )
+
+
 def create_points(n):
     from htool_tpu.testing import create_sphere
 
@@ -648,18 +697,44 @@ def _row_registry():
         "ddm_n100000": lambda aux: _bench_ddm(100_000, aux),
         "ddm2_n20000": lambda aux: _bench_ddm_two_level(20_000, aux),
         "weak_scaling_static": lambda aux: _bench_weak_scaling_static(small_n, aux),
+        f"assembly_cold_n{small_n}": lambda aux: _bench_assembly_cold(small_n, aux),
+    }
+
+
+# Estimated row cost (s) used to gate rows against the global wall budget.
+# Sources: BENCH_r04 stderr tail where a row completed; conservative guesses
+# for the DDM rows which have never completed on chip.
+def _row_estimates():
+    small_n = int(os.environ.get("BENCH_N", "10000"))
+    return {
+        "kernel_smoke": 30,
+        f"matvec_n{small_n}": 30,
+        "ddm_n100000": 600,
+        "ddm2_n20000": 420,
+        "blr2_n10000": 100,
+        "matvec_n100000": 80,
+        "complex_matvec_n100000": 200,
+        "weak_scaling_static": 90,
+        f"assembly_cold_n{small_n}": 300,
+        "blr_n10000": 120,
+        "blr2_n100000": 700,
     }
 
 
 def _row_names():
+    """Most-important-first (VERDICT r4 #1): the flagship DDM rows have been
+    lost to kills/order three rounds running — they go right after the
+    headline row so a driver timeout can no longer erase them."""
     small_n = int(os.environ.get("BENCH_N", "10000"))
     names = ["kernel_smoke", f"matvec_n{small_n}"]
     if os.environ.get("BENCH_SKIP_LARGE", "0") != "1":
-        names += ["matvec_n100000", "complex_matvec_n100000"]
+        names += ["ddm_n100000", "ddm2_n20000", "blr2_n10000",
+                  "matvec_n100000", "complex_matvec_n100000"]
         if os.environ.get("BENCH_FLAT_BLR", "0") == "1":
             names.append("blr_n10000")
-        names += ["blr2_n10000", "blr2_n100000", "ddm_n100000", "ddm2_n20000"]
     names.append("weak_scaling_static")
+    if os.environ.get("BENCH_SKIP_LARGE", "0") != "1":
+        names += [f"assembly_cold_n{small_n}", "blr2_n100000"]
     return names
 
 
@@ -684,9 +759,13 @@ def _run_row_inline(name):
     sys.exit(1 if err else 0)
 
 
-def _run_row_subprocess(name, timeout_s=_ROW_TIMEOUT_S, retries=1):
+def _run_row_subprocess(name, timeout_s=_ROW_TIMEOUT_S, retries=1, env=None):
     """Run one row isolated; returns (aux_fragment, violations, error)."""
     last_err = None
+    child_env = None
+    if env:
+        child_env = dict(os.environ)
+        child_env.update(env)
     for attempt in range(retries + 1):
         try:
             proc = subprocess.run(
@@ -695,6 +774,7 @@ def _run_row_subprocess(name, timeout_s=_ROW_TIMEOUT_S, retries=1):
                 text=True,
                 timeout=timeout_s,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
+                env=child_env,
             )
         except subprocess.TimeoutExpired:
             last_err = f"row timed out after {timeout_s}s"
@@ -718,57 +798,141 @@ def _run_row_subprocess(name, timeout_s=_ROW_TIMEOUT_S, retries=1):
     return {}, [], last_err
 
 
+def _headline_line(headline, vs):
+    return json.dumps(
+        {
+            "metric": "hmatrix_matvec_compressed_entries_per_s",
+            "value": headline,
+            "unit": "entries/s",
+            "vs_baseline": vs,
+        }
+    )
+
+
+def _vs_baseline(headline):
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
+    )
+    if os.path.exists(base_path):
+        try:
+            base = json.load(open(base_path))
+            if base.get("value"):
+                return headline / float(base["value"])
+        except Exception:
+            pass
+    return 1.0
+
+
+def _collect_iterations(aux):
+    """Iteration-count regression block (VERDICT r4 #9): Nb_it per solver
+    config, compared against the last committed record with a loud warn.
+    Mirrors the reference's pinned-convergence tests
+    (test_solver_ddm.hpp:211-217)."""
+    its = {}
+    for row, keys in (
+        ("ddm_n100000", [("ras_gmres_1level", "iterations")]),
+        ("ddm2_n20000", [("ras_gmres_1level_20k", "iterations_one_level"),
+                         ("ras_geneo_additive_2level_20k", "iterations_two_level")]),
+    ):
+        frag = aux.get(row)
+        if isinstance(frag, dict):
+            for label, key in keys:
+                if frag.get(key) is not None:
+                    its[label] = frag[key]
+    if not its:
+        return
+    aux["iterations"] = its
+    rec_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_iterations.json"
+    )
+    try:
+        prev = json.load(open(rec_path)) if os.path.exists(rec_path) else {}
+    except Exception:
+        prev = {}
+    for label, nit in its.items():
+        old = prev.get(label)
+        if old and nit > 1.5 * old:
+            print(
+                f"[bench] ITERATION REGRESSION {label}: {nit} vs recorded {old}",
+                file=sys.stderr,
+            )
+    try:
+        json.dump({**prev, **its}, open(rec_path, "w"), indent=1)
+    except Exception:
+        pass
+
+
 def main():
+    """Streams results: after EVERY row the cumulative aux JSON goes to
+    stderr, a fresh headline JSON line goes to stdout, and BENCH_AUX.json is
+    rewritten — a driver kill mid-run preserves everything measured so far
+    (round 4 lost all numbers to exactly that, VERDICT r4 weak #1).  A
+    global wall budget (BENCH_TOTAL_BUDGET_S, default 1500 s — the driver
+    kills at ~1800 s) skips not-yet-started rows loudly when the remaining
+    budget is below their estimated cost."""
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "1500"))
     rows = _row_names()
+    est = _row_estimates()
     aux = {"backend": None}
-    headline = None
+    headline = 0.0
     small_n = int(os.environ.get("BENCH_N", "10000"))
+    aux_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_AUX.json"
+    )
+
+    import tempfile
+
     for name in rows:
+        elapsed = time.perf_counter() - t_start
+        remaining = budget - elapsed
+        if remaining < est.get(name, 120):
+            aux[name] = {"skipped": f"budget: {remaining:.0f}s left < est {est.get(name, 120)}s"}
+            print(
+                f"[bench] SKIP {name}: {remaining:.0f}s budget left, "
+                f"estimated {est.get(name, 120)}s",
+                file=sys.stderr,
+            )
+            continue
+        env = None
+        if name.startswith("assembly_cold"):
+            env = {"HTOOL_TPU_COMPILE_CACHE": tempfile.mkdtemp(prefix="htool_cold_")}
         t0 = time.perf_counter()
-        frag, violations, err = _run_row_subprocess(name)
+        frag, violations, err = _run_row_subprocess(
+            name,
+            timeout_s=min(_ROW_TIMEOUT_S, max(60, int(remaining))),
+            retries=1 if remaining > 2 * est.get(name, 120) else 0,
+            env=env,
+        )
         wall = time.perf_counter() - t0
         backend = frag.pop("_backend", None)
         if aux["backend"] is None and backend:
             aux["backend"] = backend
         if err is not None:
-            aux[name] = {"error": err}
+            aux[name] = {"error": err, "wall_s": wall}
             _VIOLATIONS.append(f"{name}: {err[:150]}")
         else:
             aux.update(frag)
         print(f"[bench] {name}: {wall:.1f}s", file=sys.stderr)
         if name == f"matvec_n{small_n}" and "error" not in aux.get(name, {}):
-            headline = aux.get(name, {}).get("compressed_entries_per_s")
+            headline = aux.get(name, {}).get("compressed_entries_per_s") or 0.0
         _VIOLATIONS.extend(violations)
-
-    aux["backend"] = aux.get("backend") or "unknown"
-
-    print(json.dumps(aux), file=sys.stderr)
-
-    base_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
-    )
-    vs = 1.0
-    if headline is None:
-        headline = 0.0
-        _VIOLATIONS.append("headline matvec row missing")
-    if os.path.exists(base_path):
+        # stream: cumulative aux -> stderr + file, fresh headline -> stdout
+        _collect_iterations(aux)
+        print(json.dumps(aux), file=sys.stderr)
+        print(_headline_line(headline, _vs_baseline(headline)))
+        sys.stdout.flush()
+        sys.stderr.flush()
         try:
-            base = json.load(open(base_path))
-            if base.get("value"):
-                vs = headline / float(base["value"])
+            json.dump(aux, open(aux_path, "w"), indent=1)
         except Exception:
             pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "hmatrix_matvec_compressed_entries_per_s",
-                "value": headline,
-                "unit": "entries/s",
-                "vs_baseline": vs,
-            }
-        )
-    )
+    aux["backend"] = aux.get("backend") or "unknown"
+    if not headline:
+        _VIOLATIONS.append("headline matvec row missing")
+    print(json.dumps(aux), file=sys.stderr)
+    print(_headline_line(headline, _vs_baseline(headline)))
     if _VIOLATIONS:
         # accuracy contract broken or rows errored: fail AFTER all rows are
         # printed so the numbers are still recorded (reference contract:

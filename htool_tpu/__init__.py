@@ -47,6 +47,7 @@ from .hmatrix.blr2 import (
     build_blr2,
 )
 from .hmatrix.conversion import (
+    blr_to_hmatrix,
     cholesky_factorization,
     cholesky_solve,
     common_grid_blr,
@@ -90,6 +91,7 @@ __all__ = [
     "print_hmatrix_information",
     "recompress_hmatrix",
     "to_blr",
+    "blr_to_hmatrix",
     "to_blr2",
     "TwoLevelBLR",
     "build_blr2",

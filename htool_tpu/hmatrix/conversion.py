@@ -35,6 +35,7 @@ from .blr import DENSE, LR, ZERO, BLRMatrix, _grid_cells, blr_cholesky, blr_lu, 
 from .blr2 import TwoLevelBLR, blr2_cholesky, blr2_lu, blr2_solve
 from .compressors import batched_recompress
 from .hmatrix import HMatrix, LowRankBucket
+from ..utils.cxfer import to_device, to_host
 
 __all__ = [
     "recompress_hmatrix",
@@ -43,6 +44,7 @@ __all__ = [
     "common_grid_blr",
     "to_blr",
     "to_blr2",
+    "blr_to_hmatrix",
     "lu_factorization",
     "lu_solve",
     "cholesky_factorization",
@@ -156,7 +158,7 @@ def to_blr(
     nL = len(cells)
     ends = offs + szs
     b = max(8, int(-(-int(szs.max()) // 8) * 8))
-    dtype = np.asarray(jnp.zeros((), h.dtype)).dtype
+    dtype = np.dtype(h.dtype)
 
     herm = h.symmetry == "H"
 
@@ -195,7 +197,7 @@ def to_blr(
                     add(ci, cj, ("D", get_dense(sl_r, sl_c), at))
 
     for bk in h.dense_buckets:
-        data = np.asarray(bk.data)
+        data = to_host(bk.data)
         t_off = np.asarray(bk.t_off)
         s_off = np.asarray(bk.s_off)
         for q in range(bk.n_blocks):
@@ -213,8 +215,8 @@ def to_blr(
                 )
 
     for bk in h.lr_buckets:
-        U = np.asarray(bk.U)
-        V = np.asarray(bk.V)
+        U = to_host(bk.U)
+        V = to_host(bk.V)
         t_off = np.asarray(bk.t_off)
         s_off = np.asarray(bk.s_off)
         rks = np.asarray(bk.ranks)
@@ -312,13 +314,13 @@ def _assemble_blr_cells(
             D_list.append(Dc)
 
     nd, nl = len(D_list), len(U_list)
-    D = jnp.asarray(
+    D = to_device(
         np.concatenate([np.stack(D_list) if nd else np.zeros((0, b, b), dtype), np.zeros((1, b, b), dtype)])
     )
-    U = jnp.asarray(
+    U = to_device(
         np.concatenate([np.stack(U_list) if nl else np.zeros((0, b, R_buf), dtype), np.zeros((1, b, R_buf), dtype)])
     )
-    V = jnp.asarray(
+    V = to_device(
         np.concatenate([np.stack(V_list) if nl else np.zeros((0, R_buf, b), dtype), np.zeros((1, R_buf, b), dtype)])
     )
     ranks = jnp.asarray(np.array(rank_list + [0], np.int32))
@@ -375,7 +377,7 @@ def retile_blr(
     if b is None:
         b = max(8, int(-(-int(cell_size.max()) // 8) * 8))
     ends = cell_off + cell_size
-    dtype = np.asarray(jnp.zeros((), X.dtype)).dtype
+    dtype = np.dtype(X.dtype)
     contribs: dict = {}
 
     def add(ci, cj, item):
@@ -398,9 +400,9 @@ def retile_blr(
                 else:
                     add(ci, cj, ("D", get_dense(sl_r, sl_c), at))
 
-    Dh = np.asarray(X.D)
-    Uh = np.asarray(X.U)
-    Vh = np.asarray(X.V)
+    Dh = to_host(X.D)
+    Uh = to_host(X.U)
+    Vh = to_host(X.V)
     rk = np.asarray(X.ranks)
     for i in range(X.nL):
         oi, si = int(X.cell_off[i]), int(X.cell_size[i])
@@ -463,16 +465,16 @@ def permute_blr(
     if b is None:
         b = max(8, int(-(-int(cell_size.max()) // 8) * 8))
     qinv = np.argsort(q)
-    dtype = np.asarray(jnp.zeros((), X.dtype)).dtype
+    dtype = np.dtype(X.dtype)
     eps = X.epsilon if epsilon is None else float(epsilon)
     if R_half is None:
         # storage width is 2*R_half per LR cell: b//4 keeps an LR cell at
         # most half the dense cell footprint
         R_half = max(8, int(-(-(b // 4) // 8) * 8))
 
-    Dh = np.asarray(X.D)
-    Uh = np.asarray(X.U)
-    Vh = np.asarray(X.V)
+    Dh = to_host(X.D)
+    Uh = to_host(X.U)
+    Vh = to_host(X.V)
     rk = np.asarray(X.ranks)
     src_off = np.asarray(X.cell_off, np.int64)
     src_end = src_off + np.asarray(X.cell_size, np.int64)
@@ -597,7 +599,7 @@ def to_blr2(
         )
     ends = offs + szs
     P = max(8, int(-(-int(szs.max()) // 8) * 8))
-    dtype = np.asarray(jnp.zeros((), h.dtype)).dtype
+    dtype = np.dtype(h.dtype)
     itemsize = dtype.itemsize
     herm = h.symmetry == "H"
 
@@ -635,7 +637,7 @@ def to_blr2(
                     add(ci, cj, ("D", get_dense(sl_r, sl_c), at))
 
     for bk in h.dense_buckets:
-        data = np.asarray(bk.data)
+        data = to_host(bk.data)
         t_off = np.asarray(bk.t_off)
         s_off = np.asarray(bk.s_off)
         for q in range(bk.n_blocks):
@@ -649,8 +651,8 @@ def to_blr2(
                               lambda r, c, mb=mb: mb[r, c], None, False)
 
     for bk in h.lr_buckets:
-        U = np.asarray(bk.U)
-        V = np.asarray(bk.V)
+        U = to_host(bk.U)
+        V = to_host(bk.V)
         t_off = np.asarray(bk.t_off)
         s_off = np.asarray(bk.s_off)
         rks = np.asarray(bk.ranks)
@@ -720,11 +722,11 @@ def to_blr2(
                     pos += r
                 rk[t] = pos
             U2, V2, nr = batched_recompress(
-                jnp.asarray(Us), jnp.asarray(Vs), jnp.asarray(rk), epsilon
+                to_device(Us), to_device(Vs), jnp.asarray(rk), epsilon
             )
             nr = np.asarray(nr)
-            U2 = np.asarray(U2)
-            V2 = np.asarray(V2)
+            U2 = to_host(U2)
+            V2 = to_host(V2)
             for t, key in enumerate(sel):
                 stacked[key] = (U2[t], V2[t], int(nr[t]))
 
@@ -753,10 +755,10 @@ def to_blr2(
         panel_size=szs,
         P=P,
         diag_mode="dense",
-        pU=jnp.asarray(pU),
-        pV=jnp.asarray(pV),
+        pU=to_device(pU),
+        pV=to_device(pV),
         pRank=jnp.asarray(pRank),
-        Dd=jnp.asarray(Dd),
+        Dd=to_device(Dd),
         R=R,
         epsilon=float(epsilon),
         permutation=tree.permutation,
@@ -849,6 +851,76 @@ def cholesky_solve(F, rhs, user_numbering: bool = True, UPLO: str = "L"):
     if isinstance(F, TwoLevelBLR):
         return blr2_solve(F, rhs, user_numbering=user_numbering)
     return blr_solve(F, rhs, user_numbering=user_numbering)
+
+
+def blr_to_hmatrix(B: BLRMatrix, tree: Optional[ClusterTree] = None) -> HMatrix:
+    """Re-export a (non-factorized) uniform-grid BLR matrix as a bucketed
+    :class:`HMatrix`, closing the product loop: the result of
+    :func:`hmatrix_hmatrix_product` (a ``BLRMatrix``) re-enters the
+    tiled/Pallas matvec fast path and the npz persistence surface — the
+    TPU counterpart of the reference writing an H×H product back into an
+    ``HMatrix`` (``add_hmatrix_hmatrix_product.hpp:210``).
+
+    One dense bucket (all dense cells) and one low-rank bucket (all LR
+    cells); cell padding rows/cols are zeroed (including the invertibility
+    identity on padded diagonal rows) to restore the bucket invariant
+    "padded entries are exact zeros"."""
+    if B.factorized:
+        raise ValueError("blr_to_hmatrix expects an unfactorized matrix "
+                         "(factors are not an operator)")
+    from .hmatrix import DenseBucket
+    from ..utils.cxfer import czeros
+
+    n, b, nL = B.n, B.b, B.nL
+    perm = B.permutation if B.permutation is not None else (
+        tree.permutation if tree is not None else np.arange(n)
+    )
+    perm_dev = jnp.asarray(np.asarray(perm), jnp.int32)
+    szs = np.asarray(B.cell_size, np.int64)
+    offs = np.asarray(B.cell_off, np.int64)
+    ar = np.arange(b)
+
+    dense_buckets, lr_buckets = [], []
+    di, dj = np.nonzero(B.cls == DENSE)
+    if di.size:
+        slots = jnp.asarray(B.dense_slot[di, dj], jnp.int32)
+        rmask = jnp.asarray(ar[None, :] < szs[di][:, None])
+        cmask = jnp.asarray(ar[None, :] < szs[dj][:, None])
+        data = B.D[slots] * (rmask[:, :, None] & cmask[:, None, :]).astype(B.dtype)
+        dense_buckets.append(DenseBucket(
+            data=data,
+            t_off=jnp.asarray(offs[di], jnp.int32),
+            s_off=jnp.asarray(offs[dj], jnp.int32),
+            t_sizes=szs[di], s_sizes=szs[dj],
+        ))
+    li, lj = np.nonzero(B.cls == LR)
+    if li.size:
+        slots = jnp.asarray(B.lr_slot[li, lj], jnp.int32)
+        rk = np.asarray(B.ranks)[B.lr_slot[li, lj]]
+        rmax = int(rk.max()) if rk.size else 0
+        pad = 8
+        while pad < rmax:
+            pad *= 2
+        pad = min(pad, B.R_buf)
+        keep = jnp.asarray(np.arange(pad)[None, :] < rk[:, None])
+        U = B.U[slots][:, :, :pad] * keep[:, None, :].astype(B.dtype)
+        V = B.V[slots][:, :pad, :] * keep[:, :, None].astype(B.dtype)
+        lr_buckets.append(LowRankBucket(
+            U=U, V=V,
+            t_off=jnp.asarray(offs[li], jnp.int32),
+            s_off=jnp.asarray(offs[lj], jnp.int32),
+            t_sizes=szs[li], s_sizes=szs[lj],
+            ranks=rk.astype(np.int64),
+        ))
+    return HMatrix(
+        shape=(n, n),
+        dense_buckets=dense_buckets,
+        lr_buckets=lr_buckets,
+        perm_t=perm_dev,
+        perm_s=perm_dev,
+        symmetry="N",
+        info=dict(B.info, from_blr=True),
+    )
 
 
 def hmatrix_hmatrix_product(

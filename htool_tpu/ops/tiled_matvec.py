@@ -64,7 +64,9 @@ class TilePlan:
     trans: bool  # apply blocks transposed
     # leaves
     data: Any = None  # [n_steps*G, bm, bn] sorted+padded (dense)
-    U: Any = None  # [n_steps*G, bm, r] (lr)
+    U: Any = None  # [n_steps*G, r, bm] (lr) — stored TRANSPOSED: the rank
+    #   dim sits on sublanes (pad to 8), not lanes (pad to 128); storing
+    #   [nb, bm, r] at r=8..16 wastes 8-16x HBM in the T(8,128) layout
     V: Any = None  # [n_steps*G, r, bn]
     in_off: Any = None  # [n_steps*G] int32
     out_rel: Any = None  # [n_steps*G] int32 (tile-relative output offsets)
@@ -117,7 +119,8 @@ def build_tile_plan(bucket, out_side: str, out_len: int,
         blk_bytes = bm * _lanes(bn) * item
     else:
         r = bucket.rank_padded
-        blk_bytes = (bm * _lanes(r) + r * _lanes(bn)) * item
+        r8 = -(-r // 8) * 8
+        blk_bytes = (r8 * _lanes(bm) + r8 * _lanes(bn)) * item
     per = blk_bytes + (in_w + out_w) * 128 * item
     # grid-step fixed cost dominates small steps: size the group from the
     # REMAINING VMEM after the double-buffered tile, not a fixed target
@@ -167,7 +170,9 @@ def build_tile_plan(bucket, out_side: str, out_len: int,
     if is_dense:
         data = jnp.where(zero_mask, 0, bucket.data[gather])
         return TilePlan(kind="dense", data=data, **kw)
-    U = jnp.where(zero_mask, 0, bucket.U[gather])
+    # U stored transposed [nb, r, bm]: rank on sublanes, not lanes (8x
+    # HBM-padding avoidance at the typical r = 8..16)
+    U = jnp.where(zero_mask, 0, jnp.swapaxes(bucket.U, 1, 2)[gather])
     V = jnp.where(zero_mask, 0, bucket.V[gather])
     return TilePlan(kind="lr", U=U, V=V, **kw)
 
@@ -359,8 +364,8 @@ def tiled_matvec_ok(dtype, k: int, plan: TilePlan) -> bool:
     if plan.kind == "dense":
         blk = plan.data.shape[1] * _lanes(plan.data.shape[2]) * item
     else:
-        r = plan.U.shape[2]
-        blk = (plan.U.shape[1] * _lanes(r) + r * _lanes(plan.V.shape[2])) * item
+        r8 = -(-plan.U.shape[1] // 8) * 8  # U transposed [nb, r, bm]
+        blk = r8 * (_lanes(plan.U.shape[2]) + _lanes(plan.V.shape[2])) * item
     step = plan.G * (blk + (plan.in_w + plan.out_w) * lanes_k * item)
     return 2 * tile_bytes + 2 * step <= _VMEM_BUDGET
 
@@ -403,21 +408,23 @@ def _tiled_kernel(kind: str, trans: bool, G: int, out_w: int, in_w: int,
             preferred_element_type=out_ref.dtype, precision=hi,
         )
     else:
-        U = u_ref[:]
+        Ut = u_ref[:]  # [G, r, bm] (transposed storage)
         V = v_ref[:]
         if trans:
+            # y_s += (U V)^T x: t = U^T x = Ut x; contrib = V^T t
             t = jax.lax.dot_general(
-                U, xg, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                Ut, xg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=out_ref.dtype, precision=hi)
             contrib = jax.lax.dot_general(
                 V, t, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=out_ref.dtype, precision=hi)
         else:
+            # y_t += U (V x): t = V x; contrib = Ut^T t
             t = jax.lax.dot_general(
                 V, xg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=out_ref.dtype, precision=hi)
             contrib = jax.lax.dot_general(
-                U, t, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                Ut, t, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=out_ref.dtype, precision=hi)
 
     base = i * G
@@ -466,11 +473,11 @@ def tiled_bucket_matvec(plan: TilePlan, x_pad, dtype):
                          memory_space=pltpu.VMEM)
         ]
     else:
-        bm, r = plan.U.shape[1], plan.U.shape[2]
+        r, bm = plan.U.shape[1], plan.U.shape[2]  # U transposed [nb, r, bm]
         bn = plan.V.shape[2]
         block_arrays = [plan.U.astype(dtype), plan.V.astype(dtype)]
         block_specs = [
-            pl.BlockSpec((G, bm, r), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((G, r, bm), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, r, bn), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),

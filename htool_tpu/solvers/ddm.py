@@ -79,14 +79,20 @@ class SchwarzPreconditioner:
 
     Arrays: ``idx [P, n_max]`` global cluster indices per subdomain (padded
     with the trash slot N), ``weights [P, n_max]`` scatter weights (0 on
-    padding; D on overlap per variant), prefactorized ``lu/piv``.
+    padding; D on overlap per variant), and the PRECOMPUTED local inverses
+    ``inv [P, n_max, n_max]``.  The apply is one batched einsum — on TPU a
+    batched ``lu_solve`` inside the Krylov while-loop materializes ~4 HBM
+    copies of the factors (observed: 3.4 GB of triangular-solve temps OOMing
+    the 100k flagship solve), while an explicit-inverse matmul reads the
+    factors once and runs on the MXU.  A preconditioner only needs M ≈ A⁻¹,
+    so inverse roundoff costs at most a few Krylov iterations
+    (the LAPACK-subsolver role of ``solvers/ddm.hpp:65-76``).
     """
 
     n_global: int
     idx: Any  # [P, n_max] int32 (== n_global on padding)
     weights: Any  # [P, n_max] real
-    lu: Any  # [P, n_max, n_max]
-    piv: Any  # [P, n_max] int32
+    inv: Any  # [P, n_max, n_max] explicit local inverses
     variant: str = "ras"
     n_sub_sizes: np.ndarray = None  # host [P]
 
@@ -95,7 +101,7 @@ class SchwarzPreconditioner:
         squeeze = r.ndim == 1
         if squeeze:
             r = r[:, None]
-        z = _schwarz_apply(self.idx, self.weights, self.lu, self.piv, r)
+        z = _schwarz_apply(self.idx, self.weights, self.inv, r)
         return z[:, 0] if squeeze else z
 
     def __call__(self, r):
@@ -103,15 +109,18 @@ class SchwarzPreconditioner:
 
 
 @precise_jit
-def _schwarz_apply(idx, weights, lu, piv, r):
+def _schwarz_apply(idx, weights, inv, r):
     k = r.shape[1]
     N = r.shape[0]
     r_pad = jnp.concatenate([r, jnp.zeros((1, k), r.dtype)], axis=0)
     r_loc = r_pad[idx]  # [P, n_max, k]
-    # mask padded rows so the identity-padded LU sees zeros there
+    # mask padded rows (identity rows of the inverse would pass them through)
     mask = (idx < N)[..., None]
     r_loc = jnp.where(mask, r_loc, 0)
-    z_loc = jax.vmap(jax.scipy.linalg.lu_solve)((lu, piv), r_loc)
+    z_loc = jnp.einsum(
+        "pij,pjk->pik", inv.astype(r.dtype), r_loc,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     z_loc = z_loc * weights[..., None].astype(z_loc.dtype)
     z = jnp.zeros((N + 1, k), r.dtype).at[idx.reshape(-1)].add(
         z_loc.reshape(-1, k)
@@ -222,7 +231,7 @@ def _build_blr_schwarz(
 
 
 # compile-complexity budget for one batched-LU program: some TPU compile
-# backends crash on vmapped pivoted-LU programs past ~5e14 batch*n^3
+# backends crash on vmapped pivoted-LU programs above ~6e11 batch*n^3
 # (observed: [16, 6715, 6715] and even [2, 6715, 6715] = 6.1e11 kill the
 # remote compile helper while [1, 6715, 6715] = 3.0e11 and
 # [16, 3000, 3000] = 4.3e11 compile fine)
@@ -252,6 +261,37 @@ def _chunked_batch_lu(A_loc):
         lus.append(lu_c[: sel.size])
         pivs.append(piv_c[: sel.size])
     return jnp.concatenate(lus), jnp.concatenate(pivs)
+
+
+@precise_jit
+def _k_batch_inv(A_chunk):
+    lu, piv = jax.vmap(partial(jax.scipy.linalg.lu_factor))(A_chunk)
+    eye = jnp.eye(A_chunk.shape[1], dtype=A_chunk.dtype)
+    return jax.vmap(lambda l, p: jax.scipy.linalg.lu_solve((l, p), eye))(lu, piv)
+
+
+def _chunked_batch_inv(A_loc):
+    """Batched explicit inverse in compile-bounded chunks (same budget
+    rationale as :func:`_chunked_batch_lu`; setup-time only — the Krylov
+    loop then applies the inverses as one einsum)."""
+    P, n = int(A_loc.shape[0]), int(A_loc.shape[1])
+    chunk = max(1, min(int(_BATCH_LU_BUDGET / float(n) ** 3), P))
+    c = 1
+    while c * 2 <= chunk:
+        c *= 2
+    chunk = c
+    if chunk >= P:
+        return _k_batch_inv(A_loc)
+    invs = []
+    for lo in range(0, P, chunk):
+        sel = np.arange(lo, min(lo + chunk, P))
+        pad = chunk - sel.size
+        gat = jnp.asarray(
+            np.concatenate([sel, np.repeat(sel[:1], pad)]), jnp.int32
+        )
+        inv_c = _k_batch_inv(A_loc[gat])
+        invs.append(inv_c[: sel.size])
+    return jnp.concatenate(invs)
 
 
 def _build_schwarz(
@@ -300,14 +340,13 @@ def _build_schwarz(
     eye = jnp.eye(n_max, dtype=A_loc.dtype)[None]
     A_loc = A_loc + jnp.where(valid[:, :, None], 0, eye)
 
-    lu, piv = _chunked_batch_lu(A_loc)
+    inv = _chunked_batch_inv(A_loc)
 
     return SchwarzPreconditioner(
         n_global=N,
         idx=jnp.asarray(idx, jnp.int32),
         weights=jnp.asarray(wts),
-        lu=lu,
-        piv=piv,
+        inv=inv,
         variant=variant,
         n_sub_sizes=np.array([i.size + o.size for i, o in subs]),
     )

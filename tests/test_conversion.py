@@ -227,3 +227,34 @@ def test_permute_blr_roundtrip():
         Xp.compression_info()["compression_ratio"]
         >= 0.8 * Fa.compression_info()["compression_ratio"]
     )
+
+
+@pytest.mark.slow
+def test_blr_to_hmatrix_roundtrip():
+    """Product -> blr_to_hmatrix -> matvec_user vs dense oracle (VERDICT r4
+    item 8): the H×H product result re-enters the HMatrix product fast path
+    and the npz persistence surface (reference writes products back into an
+    HMatrix, add_hmatrix_hmatrix_product.hpp:210)."""
+    # n large enough that the flat product grid keeps low-rank cells (at
+    # n <= 2000 a sphere's 16-cell grid is dense-dominated and the product
+    # classification correctly yields all-dense)
+    H, tree, Ac = build_case(n=4000, eps=1e-6)
+    C = ht.hmatrix_hmatrix_product(H, H, tree, epsilon=1e-5, block_size=128)
+    Hc = ht.blr_to_hmatrix(C, tree)
+    assert Hc.lr_buckets and Hc.dense_buckets
+    rng = np.random.RandomState(7)
+    x = rng.randn(Ac.shape[0], 2)
+    y = np.asarray(Hc @ jnp.asarray(x))  # user numbering
+    Pm = tree.permutation
+    A = np.zeros_like(Ac)
+    A[np.ix_(Pm, Pm)] = Ac
+    ref = A @ (A @ x)
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-3
+    # persistence round-trip (save/load keeps the bucket structure)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "prod.npz")
+        ht.save_hmatrix(Hc, path)
+        H2 = ht.load_hmatrix(path)
+        y2 = np.asarray(H2 @ jnp.asarray(x))
+        assert np.allclose(y, y2, atol=1e-5)
