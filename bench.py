@@ -366,11 +366,15 @@ def _bench_blr2(n, eps, aux):
         n=n,
         epsilon=eps,
         build_s=t_build,
+        build_aca_s=A.info.get("offdiag_aca_walltime"),
+        build_diag_s=A.info.get("diag_build_walltime"),
         lu_s=t_lu,
         solve_s=t_solve,
         backward_error_est=F.info.get("backward_error_est"),
         n_rank_capped=F.info.get("n_rank_capped_pairs"),
         diag_mode=A.diag_mode,
+        n_levels=A.info.get("n_levels", 2),
+        factor_bytes=F.memory_bytes(),
     )
     bw = F.info.get("backward_error_est")
     if bw is not None and not bw < 100 * eps:
@@ -709,8 +713,8 @@ def _row_estimates():
     return {
         "kernel_smoke": 30,
         f"matvec_n{small_n}": 30,
-        "ddm_n100000": 600,
-        "ddm2_n20000": 420,
+        "ddm_n100000": 250,  # measured r5 dev: ~90 s warm + relay slack
+        "ddm2_n20000": 350,  # measured r5 dev: ~250 s warm
         "blr2_n10000": 100,
         "matvec_n100000": 80,
         "complex_matvec_n100000": 200,

@@ -44,6 +44,7 @@ from .hmatrix.blr2 import (
     blr2_lu,
     blr2_matvec,
     blr2_solve,
+    blr2_triangular_solve,
     build_blr2,
 )
 from .hmatrix.conversion import (
@@ -98,6 +99,7 @@ __all__ = [
     "blr2_lu",
     "blr2_cholesky",
     "blr2_solve",
+    "blr2_triangular_solve",
     "blr2_matvec",
     "lu_factorization",
     "lu_solve",

@@ -70,6 +70,7 @@ __all__ = [
     "blr2_lu",
     "blr2_cholesky",
     "blr2_solve",
+    "blr2_triangular_solve",
     "blr2_matvec",
     "blr2_backward_error",
 ]
@@ -122,8 +123,11 @@ class TwoLevelBLR:
             total += self.Dd.size * self.Dd.dtype.itemsize
         else:
             for B in self.diag:
-                total += B.D.size * B.D.dtype.itemsize
-                total += B.U.size * B.U.dtype.itemsize * 2
+                if isinstance(B, TwoLevelBLR):
+                    total += B.memory_bytes()  # nested panel (>= 3 levels)
+                else:
+                    total += B.D.size * B.D.dtype.itemsize
+                    total += B.U.size * B.U.dtype.itemsize * 2
         return int(total)
 
     def compression_info(self) -> dict:
@@ -138,6 +142,10 @@ class TwoLevelBLR:
             stored += nCi * self.P * self.P
         else:
             for B in self.diag:
+                if isinstance(B, TwoLevelBLR):
+                    sub = B.compression_info()
+                    stored += int(float(B.n) * B.n / sub["compression_ratio"])
+                    continue
                 rk = np.asarray(B.ranks)
                 stored += int((B.cls == DENSE).sum()) * B.b * B.b
                 for i, j in zip(*np.nonzero(B.cls == LR)):
@@ -401,10 +409,15 @@ def build_blr2(
     dense_diag_budget: int = 2 << 30,
     chunk: int = 256,
     auto_escalate: int = 1,
+    mid_size: Optional[int] = None,
+    mid_R: Optional[int] = None,
 ) -> TwoLevelBLR:
     """Assemble the two-level matrix: every off-diagonal panel pair as one
     low-rank factor (weak admissibility, chunked batched ACA), diagonal
-    panels dense-stacked or BLR.
+    panels dense-stacked, flat-BLR, or NESTED TwoLevelBLR
+    (``diag_mode="nested"`` — >= 3 factorization levels, the reference's
+    full-depth recursion asymptotics, factorization.hpp:19-79; panel
+    sub-grid at ``mid_size``, default P/8 clamped to >= 512).
 
     ``R`` is the stored panel rank cap; pairs whose ε-rank exceeds it are
     re-compressed after a global cap escalation (``auto_escalate`` rounds),
@@ -431,13 +444,16 @@ def build_blr2(
         R = min(128, P // 2)
     R = int(_pow2(max(8, R), 8))
     if diag_mode == "auto":
-        diag_mode = "dense" if nC * P * P * itemsize <= dense_diag_budget else "blr"
+        diag_mode = "dense" if nC * P * P * itemsize <= dense_diag_budget else "nested"
+    if diag_mode not in ("dense", "blr", "nested"):
+        raise ValueError(f"unknown diag_mode {diag_mode!r}")
     t0 = time.perf_counter()
 
     pairs = np.array(
         [(I, J) for I in range(nC) for J in range(nC) if I != J], np.int64
     )
     chunk = int(min(chunk, _pow2(pairs.shape[0])))
+    t_aca0 = time.perf_counter()
     Up, Vp, rank, failed = _offdiag_aca(
         generator, perm, offs, szs, pairs, P, epsilon, R, chunk
     )
@@ -487,9 +503,24 @@ def build_blr2(
     pV[pairs[:, 0], pairs[:, 1]] = Vp
     pRank[pairs[:, 0], pairs[:, 1]] = rank
 
+    t_aca = time.perf_counter() - t_aca0
+    t_diag0 = time.perf_counter()
+    nested = False
     if diag_mode == "dense":
         Dd = _build_diag_dense(generator, perm, offs, szs, nC, P, dtype)
         diag = None
+    elif diag_mode == "nested":
+        Dd = None
+        if mid_size is None:
+            mid_size = max(512, _pow2(P // 8))
+        diag = _build_diag_nested(
+            generator, tree, offs, szs, epsilon, mid_size, R2=mid_R,
+            chunk=chunk,
+        )
+        # the factorization treats nested panels through the same per-panel
+        # machinery as flat-BLR panels (polymorphic dispatch)
+        diag_mode = "blr"
+        nested = True
     else:
         Dd = None
         diag = _build_diag_blr(
@@ -515,6 +546,10 @@ def build_blr2(
             coarse_level=level,
             panel_rank_cap=R,
             n_aca_failed=n_failed,
+            nested_diag=nested,
+            n_levels=3 if nested else 2,
+            offdiag_aca_walltime=t_aca,
+            diag_build_walltime=time.perf_counter() - t_diag0,
             build_walltime=time.perf_counter() - t0,
         ),
     )
@@ -713,6 +748,229 @@ def _blr_apply_pending(B: BLRMatrix, Uc, Vc, eps):
     return B
 
 
+def blr2_triangular_solve(F: TwoLevelBLR, B, which: str = "L",
+                          trans: str = "N"):
+    """Half-solve with ONE factor of a factorized dense-diag TwoLevelBLR:
+    ``op(L̂)·X = B`` or ``op(Û)·X = B`` — the panel-level triangular surface
+    (``triangular_hmatrix_matrix_solve.hpp:18`` one level up) that the
+    ≥3-level recursion uses for its panel transforms."""
+    if not F.factorized:
+        raise ValueError("factorize first (blr2_lu / blr2_cholesky)")
+    if F.diag_mode != "dense":
+        raise NotImplementedError(
+            "panel triangular solves need dense-diag factors (innermost level)"
+        )
+    from ..utils.cxfer import to_device
+
+    B = to_device(B)
+    squeeze = B.ndim == 1
+    if squeeze:
+        B = B[:, None]
+    b = _panels_pack(F, B.astype(F.dtype))
+    if F.kind == "chol":
+        if which == "L" and trans == "N":
+            x = _k2_solve_fwd_chol(F.Dd, F.pU, F.pV, b)
+        elif which == "U" and trans == "N":
+            x = _k2_solve_bwd_chol(F.Dd, F.pU, F.pV, b)
+        elif which == "L" and trans == "C":
+            # L^H x = b == the 'U' factor of the hermitian factorization
+            x = _k2_solve_bwd_chol(F.Dd, F.pU, F.pV, b)
+        else:
+            raise NotImplementedError(f"chol half-solve {which}/{trans}")
+    else:
+        if which == "L" and trans == "N":
+            x = _k2_solve_fwd_lu(F.Dd, F.perms, F.pU, F.pV, b)
+        elif which == "U" and trans == "N":
+            x = _k2_solve_bwd_lu(F.Dd, F.pU, F.pV, b)
+        elif which == "U" and trans == "T":
+            x = _k2_solve_fwd_lu_trans(F.Dd, F.pU, F.pV, b)
+        elif which == "L" and trans == "T":
+            x = _k2_solve_bwd_lu_trans(F.Dd, F.perms, F.pU, F.pV, b)
+        else:
+            raise NotImplementedError(f"lu half-solve {which}/{trans}")
+    out = _panels_unpack(F, x)
+    return out[:, 0] if squeeze else out
+
+
+def _blr2_apply_pending(T: TwoLevelBLR, Uc, Vc, eps):
+    """Apply a pending low-rank update ``Uc·Vc`` (panel-local) to an
+    UNfactorized nested TwoLevelBLR panel: diagonal sub-panels absorb the
+    dense restriction exactly; off-diagonal sub-pairs append the restricted
+    factors and re-truncate in one batched QR+SVD — the level-3 analog of
+    :func:`_blr_apply_pending`."""
+    from ..utils.cxfer import to_device
+
+    nCs, R = T.nC, T.R
+    Ucp = _panels_pack(T, to_device(Uc).astype(T.dtype))  # [nCs, P2, Rc]
+    Vcp = jnp.swapaxes(
+        _panels_pack(T, jnp.swapaxes(to_device(Vc).astype(T.dtype), 0, 1)), 1, 2
+    )  # [nCs, Rc, P2]
+    T.Dd = T.Dd + jnp.einsum("ipr,irq->ipq", Ucp, Vcp)
+    I, J = np.nonzero(~np.eye(nCs, dtype=bool))
+    if I.size:
+        Wu = jnp.concatenate([T.pU[I, J], Ucp[I]], axis=2)
+        Wv = jnp.concatenate([T.pV[I, J], Vcp[J]], axis=1)
+        full = jnp.full((I.size,), Wu.shape[2], jnp.int32)
+        U2, V2, r2 = batched_recompress(Wu, Wv, full, eps)
+        r2c = jnp.minimum(r2, R)
+        keep = jnp.arange(R)[None, :] < r2c[:, None]
+        T.pU = T.pU.at[I, J].set(U2[:, :, :R] * keep[:, None, :].astype(T.dtype))
+        T.pV = T.pV.at[I, J].set(V2[:, :R, :] * keep[:, :, None].astype(T.dtype))
+        T.pRank = T.pRank.at[I, J].set(r2c)
+    T.cache.clear()
+    return T
+
+
+def _panel_apply_pending(B, Uc, Vc, eps):
+    if isinstance(B, TwoLevelBLR):
+        return _blr2_apply_pending(B, Uc, Vc, eps)
+    return _blr_apply_pending(B, Uc, Vc, eps)
+
+
+def _panel_factorize(B, eps, herm):
+    if isinstance(B, TwoLevelBLR):
+        return (
+            blr2_cholesky(B, eps, error_estimate=False)
+            if herm
+            else blr2_lu(B, eps, error_estimate=False)
+        )
+    return (
+        blr_cholesky(B, eps, auto_escalate=0, error_estimate=False)
+        if herm
+        else blr_lu(B, eps, auto_escalate=0, error_estimate=False)
+    )
+
+
+def _panel_tri_solve(F, slab, which, trans):
+    if isinstance(F, TwoLevelBLR):
+        return blr2_triangular_solve(F, slab, which=which, trans=trans)
+    return blr_triangular_solve(F, slab, which=which, side="L", trans=trans)
+
+
+def _build_diag_nested(generator, tree, offs, szs, epsilon, mid_size,
+                       R2=None, chunk=256):
+    """Nested diagonal panels: each top-level panel becomes its OWN
+    TwoLevelBLR over the global tree's ``mid_size``-level cells (order-
+    preserving, so panel factors act directly on the parent's cluster-
+    numbered slabs) — the ≥3-level factorization nesting (VERDICT r4 #4;
+    reference full-depth recursion ``factorization.hpp:19-79``).
+
+    All panels' off-diagonal sub-pairs compress in ONE chunked batched ACA
+    and all sub-diagonal dense blocks gather in one kernel; ACA failures
+    fall back to truncated dense SVD at the R2 cap."""
+    perm = tree.permutation
+    nC = int(offs.shape[0])
+    fine_cells, f_offs, f_szs, _ = _grid_cells(tree, mid_size)
+    ends = offs + szs
+    owner = np.searchsorted(offs, f_offs, side="right") - 1
+    assert (f_offs + f_szs <= ends[owner]).all(), "mid cells must nest in panels"
+    P2 = max(8, int(-(-int(f_szs.max()) // 8) * 8))
+    if R2 is None:
+        # quarter-panel cap: the nested format only pays off when sub-pair
+        # factors are well below half-dense; epsilon-ranks beyond the cap
+        # fall back to truncated SVD at the cap (counted)
+        R2 = max(16, min(128, P2 // 4))
+    R2 = int(_pow2(max(8, R2), 8))
+    dtype = generator.dtype
+
+    panel_fine = [np.nonzero(owner == I)[0] for I in range(nC)]
+    for I in range(nC):
+        if len(panel_fine[I]) < 2:
+            raise ValueError(
+                f"panel {I} has {len(panel_fine[I])} sub-cell(s) at "
+                f"mid_size={mid_size}; lower mid_size"
+            )
+
+    pair_meta = []  # (panel, a, c)
+    pair_cells = []  # (fine ci, fine cj)
+    for I in range(nC):
+        loc = panel_fine[I]
+        for a in range(len(loc)):
+            for c in range(len(loc)):
+                if a != c:
+                    pair_meta.append((I, a, c))
+                    pair_cells.append((loc[a], loc[c]))
+    pair_cells = np.array(pair_cells, np.int64).reshape(-1, 2)
+    chunk = int(min(chunk, _pow2(max(1, pair_cells.shape[0]))))
+    Up, Vp, rank, failed = _offdiag_aca(
+        generator, perm, f_offs, f_szs, pair_cells, P2, epsilon, R2, chunk
+    )
+    n_capped = 0
+    if failed.any():
+        # dense-SVD fallback at the R2 cap for inadmissible sub-pairs
+        sel = np.nonzero(failed)[0]
+        rows = jnp.asarray(
+            _panel_gather_idx(perm, f_offs, f_szs, pair_cells[sel, 0], P2),
+            jnp.int32,
+        )
+        cols = jnp.asarray(
+            _panel_gather_idx(perm, f_offs, f_szs, pair_cells[sel, 1], P2),
+            jnp.int32,
+        )
+        blk = generator.block(rows, cols)
+        ar = np.arange(P2)[None, :]
+        rm = jnp.asarray(ar < f_szs[pair_cells[sel, 0]][:, None])
+        cm = jnp.asarray(ar < f_szs[pair_cells[sel, 1]][:, None])
+        blk = jnp.where(rm[:, :, None] & cm[:, None, :], blk, 0)
+        Uf, s, Vh = jnp.linalg.svd(blk, full_matrices=False)
+        from .compressors import svd_truncation_rank
+
+        rk = svd_truncation_rank(s, epsilon)
+        n_capped = int(np.asarray(rk > R2).sum())
+        rk = jnp.minimum(rk, R2)
+        keep = jnp.arange(R2)[None, :] < rk[:, None]
+        Usel = (Uf[:, :, :R2] * jnp.where(keep, s[:, :R2], 0)[:, None, :].astype(dtype))
+        Usel = Usel * keep[:, None, :].astype(dtype)
+        Vsel = Vh[:, :R2, :] * keep[:, :, None].astype(dtype)
+        Up[sel] = np.asarray(Usel)
+        Vp[sel] = np.asarray(Vsel)
+        rank[sel] = np.asarray(rk)
+
+    # one batched gather for every sub-diagonal dense block
+    diag_cells = np.concatenate([panel_fine[I] for I in range(nC)])
+    Dd_all = _build_diag_dense(
+        generator, perm, f_offs[diag_cells], f_szs[diag_cells],
+        diag_cells.shape[0], P2, dtype,
+    )
+
+    panels = []
+    pos = 0
+    pair_meta = np.array(pair_meta, np.int64).reshape(-1, 3)
+    for I in range(nC):
+        loc = panel_fine[I]
+        ns = len(loc)
+        pU = np.zeros((ns, ns, P2, R2), np.dtype(dtype))
+        pV = np.zeros((ns, ns, R2, P2), np.dtype(dtype))
+        pR = np.zeros((ns, ns), np.int32)
+        sel = np.nonzero(pair_meta[:, 0] == I)[0]
+        for t in sel:
+            _, a, c = pair_meta[t]
+            pU[a, c] = Up[t]
+            pV[a, c] = Vp[t]
+            pR[a, c] = rank[t]
+        from ..utils.cxfer import to_device
+
+        panels.append(
+            TwoLevelBLR(
+                n=int(szs[I]),
+                panel_off=f_offs[loc] - int(offs[I]),
+                panel_size=f_szs[loc].copy(),
+                P=P2,
+                diag_mode="dense",
+                pU=to_device(pU),
+                pV=to_device(pV),
+                pRank=jnp.asarray(pR),
+                Dd=Dd_all[pos : pos + ns],
+                R=R2,
+                epsilon=float(epsilon),
+                permutation=np.arange(int(szs[I])),
+                info=dict(nested_panel=True, n_rank_capped_pairs=n_capped),
+            )
+        )
+        pos += ns
+    return panels
+
+
 def _factorize(A: TwoLevelBLR, eps: float, kind: str,
                error_estimate: bool) -> TwoLevelBLR:
     nC, P, R = A.nC, A.P, A.R
@@ -760,12 +1018,10 @@ def _factorize(A: TwoLevelBLR, eps: float, kind: str,
                 perms = perms.at[K].set(perm_k)
         else:
             if K > 0:
-                diag[K] = _blr_apply_pending(diag[K], peU[K], peV[K], eps_int)
-            diag[K] = (
-                blr_cholesky(diag[K], eps_int, auto_escalate=0, error_estimate=False)
-                if herm
-                else blr_lu(diag[K], eps_int, auto_escalate=0, error_estimate=False)
-            )
+                diag[K] = _panel_apply_pending(
+                    diag[K], peU[K], peV[K], eps_int
+                )
+            diag[K] = _panel_factorize(diag[K], eps_int, herm)
 
         if act.size == 0:
             break
@@ -788,9 +1044,7 @@ def _factorize(A: TwoLevelBLR, eps: float, kind: str,
 
             def _solve_pad(slab, which, trans):
                 # slab [P, m]: the panel factor only spans the true nK rows
-                X = blr_triangular_solve(
-                    FK, slab[:nK], which=which, side="L", trans=trans
-                )
+                X = _panel_tri_solve(FK, slab[:nK], which, trans)
                 if nK < P:
                     X = jnp.concatenate(
                         [X, jnp.zeros((P - nK, X.shape[1]), X.dtype)]
@@ -1097,7 +1351,7 @@ def blr2_solve(F: TwoLevelBLR, rhs, user_numbering: bool = False,
 
         def _diag_solve(K, r, which, tr="N"):
             sz = int(F.panel_size[K])
-            xK = blr_triangular_solve(F.diag[K], r[:sz], which=which, trans=tr)
+            xK = _panel_tri_solve(F.diag[K], r[:sz], which, tr)
             if sz < P:
                 xK = jnp.concatenate([xK, jnp.zeros((P - sz, xK.shape[1]), xK.dtype)])
             return xK
@@ -1179,7 +1433,10 @@ def blr2_matvec(A: TwoLevelBLR, x):
     else:
         for I in range(A.nC):
             sz = int(A.panel_size[I])
-            yI = blr_matvec(A.diag[I], xc[I, :sz])
+            if isinstance(A.diag[I], TwoLevelBLR):
+                yI = blr2_matvec(A.diag[I], xc[I, :sz])
+            else:
+                yI = blr_matvec(A.diag[I], xc[I, :sz])
             yc = yc.at[I, :sz].add(yI.astype(yc.dtype))
     out = _panels_unpack(A, yc)
     return out[:, 0] if squeeze else out

@@ -178,3 +178,24 @@ def test_dist_ddm_gmres_blr_smoke():
     x, infos = s.solve(b, tol=1e-8, krylov="gmres", restart=40)
     res = np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b)
     assert res < 1e-6, (res, infos)
+
+
+def test_blr2_nested_smoke():
+    """Nested (>= 3-level) factorization in the default tier: TwoLevelBLR
+    diagonal panels inside a TwoLevelBLR (the reference's full-depth
+    recursion asymptotics, factorization.hpp:19-79)."""
+    from htool_tpu.hmatrix.blr2 import TwoLevelBLR, blr2_lu, blr2_solve, build_blr2
+    from htool_tpu.testing import create_sphere, laplace_kernel_symmetric
+
+    n = 700
+    pts = create_sphere(n)
+    tree = ht.build_cluster_tree(pts, max_leaf_size=16)
+    gen = ht.KernelGenerator(laplace_kernel_symmetric, pts, pts)
+    A = build_blr2(gen, tree, epsilon=1e-8, coarse_size=256,
+                   diag_mode="nested", mid_size=64)
+    assert A.info["n_levels"] == 3 and isinstance(A.diag[0], TwoLevelBLR)
+    F = blr2_lu(A, error_estimate=False)
+    Ad = np.asarray(gen.to_dense())
+    x = np.random.RandomState(0).randn(n)
+    xs = np.asarray(blr2_solve(F, Ad @ x, user_numbering=True))
+    assert np.linalg.norm(xs - x) / np.linalg.norm(x) < 1e-6
