@@ -132,9 +132,15 @@ def batched_partial_aca(
         )
 
         # ---- commit cross k for still-active blocks ----
+        # select INSIDE the written slice: a where over the full [nb, m,
+        # rmax] state would copy the whole buffer every iteration (2 GB+/it
+        # at panel scale — measured as the ACA walltime driver); the masked
+        # slice write updates the loop-carried buffer in place
         upd = active
-        U = jnp.where(upd[:, None, None], st["U"].at[:, :, k].set(c), st["U"])
-        V = jnp.where(upd[:, None, None], st["V"].at[:, k, :].set(r), st["V"])
+        c_k = jnp.where(upd[:, None], c, st["U"][:, :, k])
+        r_k = jnp.where(upd[:, None], r, st["V"][:, k, :])
+        U = st["U"].at[:, :, k].set(c_k)
+        V = st["V"].at[:, k, :].set(r_k)
         q = jnp.where(upd, k + 1, st["q"])
         I = jnp.where(upd, I_next, st["I"])
 

@@ -87,8 +87,10 @@ def batched_full_aca(gen, rows, cols, t_sizes, s_sizes, epsilon, rmax, reqrank=-
 
         upd = active3
         R = jnp.where(upd[:, None, None], Rnew, R)
-        U = jnp.where(upd[:, None, None], U.at[:, :, k].set(u), U)
-        V = jnp.where(upd[:, None, None], V.at[:, k, :].set(v), V)
+        # slice-local select (a full-array where would copy U/V every
+        # iteration; see the same fix in aca.py)
+        U = U.at[:, :, k].set(jnp.where(upd[:, None], u, U[:, :, k]))
+        V = V.at[:, k, :].set(jnp.where(upd[:, None], v, V[:, k, :]))
         q = jnp.where(upd, k + 1, q)
 
         resnorm = jnp.sqrt(jnp.sum(jnp.abs(R) ** 2, axis=(1, 2)))
