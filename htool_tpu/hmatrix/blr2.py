@@ -211,13 +211,19 @@ def _k2_mask_factors(U, V, rank, R):
 
 
 def _offdiag_aca(generator, perm, offs, szs, pairs, P, epsilon, R, chunk):
-    """Chunked batched ACA over panel pairs -> (U [np,P,R], V, rank, failed).
+    """Chunked batched ACA over panel pairs -> (U [np,P,R] DEVICE, V DEVICE,
+    rank host, failed host).
 
     Chunk size is fixed so the ACA while_loop compiles once per (chunk,P,R)
-    shape (compiles are the dominant cost on the TPU remote-compile path)."""
+    shape.  The factor arrays STAY ON DEVICE (accumulated with slice
+    writes): fetching them to host cost ~2 GB/run of relay transfers at
+    n=100k and dominated the measured build walltime; only the small
+    rank/failed vectors cross the host boundary."""
+    from ..utils.cxfer import czeros
+
     npairs = pairs.shape[0]
-    U_out = np.zeros((npairs, P, R), np.asarray(jnp.zeros((), generator.dtype)).dtype)
-    V_out = np.zeros((npairs, R, P), U_out.dtype)
+    U_out = czeros((npairs, P, R), generator.dtype)
+    V_out = czeros((npairs, R, P), generator.dtype)
     rank_out = np.zeros((npairs,), np.int32)
     failed_out = np.zeros((npairs,), bool)
     for c0 in range(0, npairs, chunk):
@@ -238,8 +244,8 @@ def _offdiag_aca(generator, perm, offs, szs, pairs, P, epsilon, R, chunk):
             R,
         )
         U, V = _k2_mask_factors(U, V, rank, R)
-        U_out[sel] = np.asarray(U)[: sel.size]
-        V_out[sel] = np.asarray(V)[: sel.size]
+        U_out = U_out.at[c0:c1].set(U[: sel.size])
+        V_out = V_out.at[c0:c1].set(V[: sel.size])
         rank_out[sel] = np.asarray(rank)[: sel.size]
         failed_out[sel] = np.asarray(failed)[: sel.size]
     return U_out, V_out, rank_out, failed_out
@@ -462,15 +468,18 @@ def build_blr2(
         # global cap escalation: widen buffers, re-run ACA on failed pairs
         auto_escalate -= 1
         R2 = 2 * R
-        Up = np.concatenate([Up, np.zeros((Up.shape[0], P, R2 - R), Up.dtype)], 2)
-        Vp = np.concatenate([Vp, np.zeros((Vp.shape[0], R2 - R, P), Vp.dtype)], 1)
+        Up = jnp.pad(Up, ((0, 0), (0, 0), (0, R2 - R)))
+        Vp = jnp.pad(Vp, ((0, 0), (0, R2 - R), (0, 0)))
         R = R2
         fsel = np.nonzero(failed)[0]
         fchunk = int(min(chunk, _pow2(fsel.size)))
         Uf, Vf, rf, ff = _offdiag_aca(
             generator, perm, offs, szs, pairs[fsel], P, epsilon, R, fchunk
         )
-        Up[fsel], Vp[fsel], rank[fsel], failed[fsel] = Uf, Vf, rf, ff
+        fidx = jnp.asarray(fsel, jnp.int32)
+        Up = Up.at[fidx].set(Uf)
+        Vp = Vp.at[fidx].set(Vf)
+        rank[fsel], failed[fsel] = rf, ff
         n_failed = int(failed.sum())
     if n_failed:
         # last resort — store failed pairs EXACTLY as (block, identity)
@@ -478,29 +487,34 @@ def build_blr2(
         # dense fallback (tree_builder.hpp:572-577).  Needs R >= P.
         if R < P:
             R2 = int(_pow2(P, 8))
-            Up = np.concatenate([Up, np.zeros((Up.shape[0], P, R2 - R), Up.dtype)], 2)
-            Vp = np.concatenate([Vp, np.zeros((Vp.shape[0], R2 - R, P), Vp.dtype)], 1)
+            Up = jnp.pad(Up, ((0, 0), (0, 0), (0, R2 - R)))
+            Vp = jnp.pad(Vp, ((0, 0), (0, R2 - R), (0, 0)))
             R = R2
         fsel = np.nonzero(failed)[0]
         for t in fsel:
             I, J = int(pairs[t, 0]), int(pairs[t, 1])
             rows = jnp.asarray(_panel_gather_idx(perm, offs, szs, np.array([I]), P), jnp.int32)
             cols = jnp.asarray(_panel_gather_idx(perm, offs, szs, np.array([J]), P), jnp.int32)
-            blk = np.array(generator.block(rows, cols))[0]
+            blk = generator.block(rows, cols)[0]
             sI, sJ = int(szs[I]), int(szs[J])
-            blk[sI:, :] = 0
-            blk[:, sJ:] = 0
-            Up[t] = 0
-            Vp[t] = 0
-            Up[t, :, :sJ] = blk[:, :sJ]
-            Vp[t, :sJ, :sJ] = np.eye(sJ, dtype=Vp.dtype)
+            ar = jnp.arange(P)
+            blk = jnp.where((ar[:, None] < sI) & (ar[None, :] < sJ), blk, 0)
+            Ut = jnp.zeros((P, R), blk.dtype).at[:, :P].set(blk)[:, :R]
+            Vt = jnp.zeros((R, P), blk.dtype).at[:sJ, :sJ].set(
+                jnp.eye(sJ, dtype=blk.dtype)
+            )
+            Up = Up.at[t].set(Ut)
+            Vp = Vp.at[t].set(Vt)
             rank[t] = sJ
 
-    pU = np.zeros((nC, nC, P, R), Up.dtype)
-    pV = np.zeros((nC, nC, R, P), Vp.dtype)
+    # device scatter into the [nC, nC, P, R] pair store (zero diagonal)
+    from ..utils.cxfer import czeros
+
+    pi = jnp.asarray(pairs[:, 0], jnp.int32)
+    pj = jnp.asarray(pairs[:, 1], jnp.int32)
+    pU = czeros((nC, nC, P, R), dtype).at[pi, pj].set(Up)
+    pV = czeros((nC, nC, R, P), dtype).at[pi, pj].set(Vp)
     pRank = np.zeros((nC, nC), np.int32)
-    pU[pairs[:, 0], pairs[:, 1]] = Up
-    pV[pairs[:, 0], pairs[:, 1]] = Vp
     pRank[pairs[:, 0], pairs[:, 1]] = rank
 
     t_aca = time.perf_counter() - t_aca0
@@ -712,7 +726,7 @@ def _active_sets(nC, k):
 # byte budget for one Schur-update launch (Wu/Wv concatenations + the
 # batched QR/SVD workspace of the fused re-truncation); pairs are chunked
 # to stay under it — see the chunked loop in _factorize
-_SCHUR_CHUNK_BUDGET = int(1e9)  # QR workspace runs ~5x beyond the estimate
+_SCHUR_CHUNK_BUDGET = int(2e9)  # QR workspace runs ~5x beyond the estimate
 
 
 def _blr_apply_pending(B: BLRMatrix, Uc, Vc, eps):
@@ -922,8 +936,9 @@ def _build_diag_nested(generator, tree, offs, szs, epsilon, mid_size,
         Usel = (Uf[:, :, :R2] * jnp.where(keep, s[:, :R2], 0)[:, None, :].astype(dtype))
         Usel = Usel * keep[:, None, :].astype(dtype)
         Vsel = Vh[:, :R2, :] * keep[:, :, None].astype(dtype)
-        Up[sel] = np.asarray(Usel)
-        Vp[sel] = np.asarray(Vsel)
+        sidx = jnp.asarray(sel, jnp.int32)
+        Up = Up.at[sidx].set(Usel)
+        Vp = Vp.at[sidx].set(Vsel)
         rank[sel] = np.asarray(rk)
 
     # one batched gather for every sub-diagonal dense block
@@ -933,23 +948,26 @@ def _build_diag_nested(generator, tree, offs, szs, epsilon, mid_size,
         diag_cells.shape[0], P2, dtype,
     )
 
+    # panel pair stores by DEVICE gather (factors never visit the host;
+    # the dummy last row covers the zero diagonal slots)
+    Up_ext = jnp.concatenate([Up, jnp.zeros((1,) + Up.shape[1:], Up.dtype)])
+    Vp_ext = jnp.concatenate([Vp, jnp.zeros((1,) + Vp.shape[1:], Vp.dtype)])
+    n_pairs = pair_cells.shape[0]
+
     panels = []
     pos = 0
     pair_meta = np.array(pair_meta, np.int64).reshape(-1, 3)
     for I in range(nC):
         loc = panel_fine[I]
         ns = len(loc)
-        pU = np.zeros((ns, ns, P2, R2), np.dtype(dtype))
-        pV = np.zeros((ns, ns, R2, P2), np.dtype(dtype))
+        idx_map = np.full((ns, ns), n_pairs, np.int64)
         pR = np.zeros((ns, ns), np.int32)
         sel = np.nonzero(pair_meta[:, 0] == I)[0]
         for t in sel:
             _, a, c = pair_meta[t]
-            pU[a, c] = Up[t]
-            pV[a, c] = Vp[t]
+            idx_map[a, c] = t
             pR[a, c] = rank[t]
-        from ..utils.cxfer import to_device
-
+        gat = jnp.asarray(idx_map.reshape(-1), jnp.int32)
         panels.append(
             TwoLevelBLR(
                 n=int(szs[I]),
@@ -957,8 +975,8 @@ def _build_diag_nested(generator, tree, offs, szs, epsilon, mid_size,
                 panel_size=f_szs[loc].copy(),
                 P=P2,
                 diag_mode="dense",
-                pU=to_device(pU),
-                pV=to_device(pV),
+                pU=Up_ext[gat].reshape(ns, ns, P2, R2),
+                pV=Vp_ext[gat].reshape(ns, ns, R2, P2),
                 pRank=jnp.asarray(pR),
                 Dd=Dd_all[pos : pos + ns],
                 R=R2,
