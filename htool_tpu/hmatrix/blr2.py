@@ -464,6 +464,7 @@ def build_blr2(
         generator, perm, offs, szs, pairs, P, epsilon, R, chunk
     )
     n_failed = int(failed.sum())
+    npairs_all = pairs.shape[0]
     while n_failed and auto_escalate > 0:
         # global cap escalation: widen buffers, re-run ACA on failed pairs
         auto_escalate -= 1
@@ -476,9 +477,16 @@ def build_blr2(
         Uf, Vf, rf, ff = _offdiag_aca(
             generator, perm, offs, szs, pairs[fsel], P, epsilon, R, fchunk
         )
-        fidx = jnp.asarray(fsel, jnp.int32)
-        Up = Up.at[fidx].set(Uf)
-        Vp = Vp.at[fidx].set(Vf)
+        # gather+where merge (scatter-free; TPU scatters of big slices are
+        # pathologically slow)
+        merge = np.full(npairs_all, fsel.size, np.int64)
+        merge[fsel] = np.arange(fsel.size)
+        gi = jnp.asarray(merge, jnp.int32)
+        mask = jnp.asarray(failed)[:, None, None]
+        Uf_ext = jnp.concatenate([Uf, jnp.zeros((1, P, R), Uf.dtype)])
+        Vf_ext = jnp.concatenate([Vf, jnp.zeros((1, R, P), Vf.dtype)])
+        Up = jnp.where(mask, Uf_ext[gi], Up)
+        Vp = jnp.where(mask, Vf_ext[gi], Vp)
         rank[fsel], failed[fsel] = rf, ff
         n_failed = int(failed.sum())
     if n_failed:
@@ -507,13 +515,16 @@ def build_blr2(
             Vp = Vp.at[t].set(Vt)
             rank[t] = sJ
 
-    # device scatter into the [nC, nC, P, R] pair store (zero diagonal)
-    from ..utils.cxfer import czeros
-
-    pi = jnp.asarray(pairs[:, 0], jnp.int32)
-    pj = jnp.asarray(pairs[:, 1], jnp.int32)
-    pU = czeros((nC, nC, P, R), dtype).at[pi, pj].set(Up)
-    pV = czeros((nC, nC, R, P), dtype).at[pi, pj].set(Vp)
+    # fill the [nC, nC, P, R] pair store by GATHER through a dummy-padded
+    # index map (an .at[pi, pj].set scatter of the same data lowers to a
+    # TPU scatter that measured ~170 s at n=100k; the gather is plain DMA)
+    idx_map = np.full((nC, nC), pairs.shape[0], np.int64)
+    idx_map[pairs[:, 0], pairs[:, 1]] = np.arange(pairs.shape[0])
+    gat_all = jnp.asarray(idx_map.reshape(-1), jnp.int32)
+    Up_all = jnp.concatenate([Up, jnp.zeros((1, P, R), Up.dtype)])
+    Vp_all = jnp.concatenate([Vp, jnp.zeros((1, R, P), Vp.dtype)])
+    pU = Up_all[gat_all].reshape(nC, nC, P, R)
+    pV = Vp_all[gat_all].reshape(nC, nC, R, P)
     pRank = np.zeros((nC, nC), np.int32)
     pRank[pairs[:, 0], pairs[:, 1]] = rank
 
@@ -936,9 +947,14 @@ def _build_diag_nested(generator, tree, offs, szs, epsilon, mid_size,
         Usel = (Uf[:, :, :R2] * jnp.where(keep, s[:, :R2], 0)[:, None, :].astype(dtype))
         Usel = Usel * keep[:, None, :].astype(dtype)
         Vsel = Vh[:, :R2, :] * keep[:, :, None].astype(dtype)
-        sidx = jnp.asarray(sel, jnp.int32)
-        Up = Up.at[sidx].set(Usel)
-        Vp = Vp.at[sidx].set(Vsel)
+        merge = np.full(pair_cells.shape[0], sel.size, np.int64)
+        merge[sel] = np.arange(sel.size)
+        gi = jnp.asarray(merge, jnp.int32)
+        mask = jnp.asarray(failed)[:, None, None]
+        Us_ext = jnp.concatenate([Usel, jnp.zeros((1, P2, R2), Usel.dtype)])
+        Vs_ext = jnp.concatenate([Vsel, jnp.zeros((1, R2, P2), Vsel.dtype)])
+        Up = jnp.where(mask, Us_ext[gi], Up)
+        Vp = jnp.where(mask, Vs_ext[gi], Vp)
         rank[sel] = np.asarray(rk)
 
     # one batched gather for every sub-diagonal dense block
