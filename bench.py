@@ -724,13 +724,13 @@ def _row_estimates():
         f"matvec_n{small_n}": 30,
         "ddm_n100000": 250,  # measured r5 dev: ~90 s warm + relay slack
         "ddm2_n20000": 350,  # measured r5 dev: ~250 s warm
-        "blr2_n10000": 100,
+        "blr2_n10000": 80,
         "matvec_n100000": 80,
         "complex_matvec_n100000": 200,
         "weak_scaling_static": 90,
         f"assembly_cold_n{small_n}": 300,
         "blr_n10000": 120,
-        "blr2_n100000": 500,  # nested diag, measured r5: build 216 + lu 95 warm
+        "blr2_n100000": 300,  # nested diag, measured r5 warm: build 13 + lu 96 + tree/solve
     }
 
 
@@ -773,13 +773,26 @@ def _run_row_inline(name):
 
 
 def _run_row_subprocess(name, timeout_s=_ROW_TIMEOUT_S, retries=1, env=None):
-    """Run one row isolated; returns (aux_fragment, violations, error)."""
+    """Run one row isolated; returns (aux_fragment, violations, error).
+
+    A retry runs with a FRESH XLA compile-cache dir: a stale persistent
+    cache can hold executables serialized against a previous relay session
+    that now fail at runtime with opaque INVALID_ARGUMENT errors (observed
+    r5) — recompiling is the fix, so the retry forces it."""
+    import tempfile
+
     last_err = None
     child_env = None
     if env:
         child_env = dict(os.environ)
         child_env.update(env)
     for attempt in range(retries + 1):
+        if attempt > 0 and not (env or {}).get("HTOOL_TPU_COMPILE_CACHE"):
+            child_env = dict(os.environ)
+            child_env.update(env or {})
+            child_env["HTOOL_TPU_COMPILE_CACHE"] = tempfile.mkdtemp(
+                prefix="htool_retry_cache_"
+            )
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--row", name],

@@ -45,7 +45,7 @@ def _mods():
     return _pl, _pltpu
 
 
-_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under ~16MB/core
+_VMEM_BUDGET = 13 * 1024 * 1024  # leave headroom under ~16MB/core
 
 # blocks per grid step: the grid is sequential on TPU, so per-step overhead
 # (scalar loads, DMA setup) dominates once blocks are small — group G blocks

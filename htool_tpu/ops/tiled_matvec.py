@@ -168,13 +168,48 @@ def build_tile_plan(bucket, out_side: str, out_len: int,
         first_of=jnp.asarray(np.asarray(firsts, np.int32)),
     )
     if is_dense:
-        data = jnp.where(zero_mask, 0, bucket.data[gather])
+        data = _row_major(jnp.where(zero_mask, 0, bucket.data[gather]))
         return TilePlan(kind="dense", data=data, **kw)
     # U stored transposed [nb, r, bm]: rank on sublanes, not lanes (8x
     # HBM-padding avoidance at the typical r = 8..16)
-    U = jnp.where(zero_mask, 0, jnp.swapaxes(bucket.U, 1, 2)[gather])
-    V = jnp.where(zero_mask, 0, bucket.V[gather])
+    U = _row_major(jnp.where(zero_mask, 0, jnp.swapaxes(bucket.U, 1, 2)[gather]))
+    V = _row_major(jnp.where(zero_mask, 0, bucket.V[gather]))
     return TilePlan(kind="lr", U=U, V=V, **kw)
+
+
+def _row_major(x):
+    """Force canonical row-major device storage for a plan array."""
+    try:
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        want = tuple(range(x.ndim))
+        if x.format.layout.major_to_minor != want:
+            dev = list(x.devices())[0]
+            return jax.device_put(
+                x, Format(Layout(major_to_minor=want), SingleDeviceSharding(dev))
+            )
+    except Exception:
+        pass
+    return x
+
+
+def _pin_row_major(x):
+    """Layout constraint at the consumption point: without it XLA's auto
+    layout assignment picks a block-index-minor parameter layout for the
+    plan arrays and inserts a full relayout copy before every pallas call
+    (traced: 4.8 ms of a 25.7 ms matvec at n=100k — the stored arrays are
+    already row-major)."""
+    if _os.environ.get("HTOOL_TPU_PIN_LAYOUT", "1") == "0":
+        return x
+    try:
+        from jax.experimental.layout import Format, Layout, with_layout_constraint
+
+        return with_layout_constraint(
+            x, Format(Layout(major_to_minor=tuple(range(x.ndim))))
+        )
+    except Exception:
+        return x
 
 
 def build_tile_plan_lr_split(bucket, out_side: str, out_len: int,
@@ -212,10 +247,44 @@ def build_tile_plan_lr_split(bucket, out_side: str, out_len: int,
 
     mid_off = np.arange(nb, dtype=np.int64) * r_pad
     stageA = _DenseStand(dataA, t_off=mid_off, s_off=np.asarray(x_off, np.int64))
-    stageB = _DenseStand(dataB, t_off=mid_off, s_off=np.asarray(y_off, np.int64))
+    stageB = _chunk_stand_width(
+        dataB, mid_off, np.asarray(y_off, np.int64)
+    )
     planA = build_tile_plan(stageA, "t", nb * r_pad + 16, tile_rows)
     planB = build_tile_plan(stageB, "s", out_len, tile_rows)
     return planA, planB
+
+
+import os as _os
+
+_STAGE_B_CHUNK = int(
+    _os.environ.get("HTOOL_TPU_STAGE_B_CHUNK", "2048")
+)  # max expansion width per stage-B plan entry
+
+
+def _chunk_stand_width(dataB, mid_off, y_off, chunk=_STAGE_B_CHUNK):
+    """Split wide stage-B factor blocks [nb, r, W] into output chunks of at
+    most ``chunk`` columns so the out-tile extension zone (E = block width)
+    fits the kernel's VMEM gate — the 6272-wide coarse-level low-rank
+    blocks otherwise fall back to the XLA gather/scatter path (traced at
+    ~2.8 ms of a 21 ms matvec at n=100k).  Each chunk re-reads the same
+    r-row staging window (16 rows — negligible)."""
+    nb, r, W = int(dataB.shape[0]), int(dataB.shape[1]), int(dataB.shape[2])
+    if W <= chunk:
+        return _DenseStand(dataB, t_off=mid_off, s_off=y_off)
+    n_ch = -(-W // chunk)
+    pad_W = n_ch * chunk
+    if pad_W != W:
+        dataB = jnp.pad(dataB, ((0, 0), (0, 0), (0, pad_W - W)))
+    # [nb, r, n_ch*chunk] -> [nb*n_ch, r, chunk] with chunk-major order
+    dataC = jnp.swapaxes(
+        dataB.reshape(nb, r, n_ch, chunk), 1, 2
+    ).reshape(nb * n_ch, r, chunk)
+    t_off = np.repeat(mid_off, n_ch)
+    s_off = np.repeat(y_off, n_ch) + np.tile(
+        np.arange(n_ch, dtype=np.int64) * chunk, nb
+    )
+    return _DenseStand(dataC, t_off=t_off, s_off=s_off)
 
 
 class _DenseStand:
@@ -303,8 +372,12 @@ def build_tile_plan_complex(bucket, out_side: str, out_len: int,
     y_off = np.asarray(y_off, np.int64)
     pAr = build_tile_plan(_DenseStand(jnp.real(dataA), mid_off, x_off), "t", mid_len, tile_rows)
     pAi = build_tile_plan(_DenseStand(jnp.imag(dataA), mid_off, x_off), "t", mid_len, tile_rows)
-    pBr = build_tile_plan(_DenseStand(jnp.real(dataB), mid_off, y_off), "s", out_len, tile_rows)
-    pBi = build_tile_plan(_DenseStand(jnp.imag(dataB), mid_off, y_off), "s", out_len, tile_rows)
+    pBr = build_tile_plan(
+        _chunk_stand_width(jnp.real(dataB), mid_off, y_off), "s", out_len, tile_rows
+    )
+    pBi = build_tile_plan(
+        _chunk_stand_width(jnp.imag(dataB), mid_off, y_off), "s", out_len, tile_rows
+    )
     return ComplexPlans("clr", (pAr, pAi, pBr, pBi))
 
 
@@ -467,7 +540,7 @@ def tiled_bucket_matvec(plan: TilePlan, x_pad, dtype):
 
     if plan.kind == "dense":
         bm, bn = plan.data.shape[1], plan.data.shape[2]
-        block_arrays = [plan.data.astype(dtype)]
+        block_arrays = [_pin_row_major(plan.data.astype(dtype))]
         block_specs = [
             pl.BlockSpec((G, bm, bn), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -475,7 +548,10 @@ def tiled_bucket_matvec(plan: TilePlan, x_pad, dtype):
     else:
         r, bm = plan.U.shape[1], plan.U.shape[2]  # U transposed [nb, r, bm]
         bn = plan.V.shape[2]
-        block_arrays = [plan.U.astype(dtype), plan.V.astype(dtype)]
+        block_arrays = [
+            _pin_row_major(plan.U.astype(dtype)),
+            _pin_row_major(plan.V.astype(dtype)),
+        ]
         block_specs = [
             pl.BlockSpec((G, r, bm), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -194,3 +194,44 @@ def test_tiled_complex_hermitian_mirror(pallas_interpret):
     got = np.asarray(matvec_user(H, x))
     err = np.linalg.norm(got - A @ x) / np.linalg.norm(A @ x)
     assert err < 1e-4, err
+
+
+def test_split_plan_stage_b_chunking(pallas_interpret):
+    """Wide stage-B factor blocks are chunked along the output width so the
+    out-tile extension fits VMEM (the 6272-wide coarse-block path)."""
+    import jax.numpy as jnp
+
+    from htool_tpu.hmatrix.hmatrix import LowRankBucket
+    from htool_tpu.ops.tiled_matvec import (
+        _chunk_stand_width,
+        build_tile_plan,
+        tiled_bucket_matvec,
+    )
+
+    rng = np.random.RandomState(3)
+    nb, b, r = 3, 96, 8
+    n = 400
+    t_off = np.array([0, 120, 280], np.int64)
+    s_off = np.array([96, 0, 160], np.int64)
+    U = rng.randn(nb, b, r).astype(np.float32)
+    V = rng.randn(nb, r, b).astype(np.float32)
+    x = rng.randn(n + 120, 3).astype(np.float32)
+    # stage A (V contraction) + CHUNKED stage B (chunk < b forces the path)
+    r_pad = 8
+    mid_off = np.arange(nb, dtype=np.int64) * r_pad
+    stageA_data = jnp.asarray(V)
+    planA = build_tile_plan(
+        type("S", (), {"data": stageA_data, "t_off": mid_off, "s_off": s_off,
+                       "block_shape": (r, b)})(), "t", nb * r_pad + 16)
+    stageB = _chunk_stand_width(
+        jnp.swapaxes(jnp.asarray(U), 1, 2), mid_off, t_off, chunk=32
+    )
+    assert stageB.data.shape[0] == nb * 3  # 96 / 32 chunks
+    planB = build_tile_plan(stageB, "s", n + 120)
+    t = tiled_bucket_matvec(planA, jnp.asarray(x), jnp.float32)
+    y = tiled_bucket_matvec(planB, t, jnp.float32)
+    ref = np.zeros((n + 120, 3))
+    for i in range(nb):
+        ref[t_off[i] : t_off[i] + b] += (U[i] @ V[i]) @ x[s_off[i] : s_off[i] + b]
+    err = np.linalg.norm(np.asarray(y)[: n] - ref[: n]) / np.linalg.norm(ref[: n])
+    assert err < 1e-5, err
