@@ -229,8 +229,19 @@ def build_geneo_coarse_space(
         itemsize = jnp.dtype(generator.dtype).itemsize
         per_sub = n_max * n_max * itemsize * 8  # Ai+Bi+EVP transients
         chunk = max(1, min(int(evp_budget_bytes // per_sub), P))
+        # round DOWN to a power of two: the batched-eigh program compiles
+        # per chunk SHAPE, and a ragged last chunk (e.g. 5 then 3 of P=8)
+        # doubles the dominant compile cost of the two-level setup
+        c2 = 1
+        while c2 * 2 <= chunk:
+            c2 *= 2
+        chunk = c2
         for lo in range(0, P, chunk):
-            ps = list(range(lo, min(lo + chunk, P)))
+            ps_real = list(range(lo, min(lo + chunk, P)))
+            n_real = len(ps_real)
+            # pad a ragged final chunk by repeating the first subdomain:
+            # results for padded entries are discarded below
+            ps = ps_real + [ps_real[0]] * (chunk - n_real)
             c = len(ps)
             rows = np.zeros((c, n_max), np.int64)
             valid = np.zeros((c, n_max), bool)
@@ -265,7 +276,7 @@ def build_geneo_coarse_space(
             w_all, v_all = _k_geneo_eigh(DAiD, Bi)
             w_all = np.asarray(w_all)  # [c, n_max] ascending (real)
             v_all = to_host(v_all)
-            for ci, p in enumerate(ps):
+            for ci, p in enumerate(ps_real):
                 select(p, w_all[ci], v_all[ci], sub_idx[p].size, int(sizes[p]))
     else:
         # ---- general (non-hermitian) host path ----
