@@ -731,7 +731,7 @@ def _row_estimates():
         "weak_scaling_static": 90,
         f"assembly_cold_n{small_n}": 150,
         "blr_n10000": 120,
-        "blr2_n100000": 400,
+        "blr2_n100000": 650,
     }
 
 
@@ -788,7 +788,7 @@ def _run_row_subprocess(name, timeout_s=_ROW_TIMEOUT_S, retries=1, env=None):
         child_env = dict(os.environ)
         child_env.update(env)
     for attempt in range(retries + 1):
-        if attempt > 0 and not (env or {}).get("HTOOL_TPU_COMPILE_CACHE"):
+        if attempt > 0:
             child_env = dict(os.environ)
             child_env.update(env or {})
             child_env["HTOOL_TPU_COMPILE_CACHE"] = tempfile.mkdtemp(
