@@ -742,13 +742,15 @@ def _row_names():
     small_n = int(os.environ.get("BENCH_N", "10000"))
     names = ["kernel_smoke", f"matvec_n{small_n}"]
     if os.environ.get("BENCH_SKIP_LARGE", "0") != "1":
-        names += ["ddm_n100000", "ddm2_n20000", "blr2_n10000",
-                  "matvec_n100000", "complex_matvec_n100000"]
+        # blr2_n100000 (the flagship factorization scale) outranks the 10k
+        # row, which is documented from repeated dev runs (BASELINE.md)
+        names += ["ddm_n100000", "ddm2_n20000", "blr2_n100000",
+                  "matvec_n100000", "complex_matvec_n100000", "blr2_n10000"]
         if os.environ.get("BENCH_FLAT_BLR", "0") == "1":
             names.append("blr_n10000")
     names.append("weak_scaling_static")
     if os.environ.get("BENCH_SKIP_LARGE", "0") != "1":
-        names += ["blr2_n100000", f"assembly_cold_n{small_n}"]
+        names += [f"assembly_cold_n{small_n}"]
     return names
 
 
