@@ -271,3 +271,20 @@ def test_blr2_nested_memory_below_flat():
     # accuracy retained at the smaller sub-pair cap
     F = blr2_lu(A3, error_estimate=True)
     assert F.info["backward_error_est"] < 1e-4
+
+
+@pytest.mark.parametrize("trans", ["N", "C"])
+def test_blr2_nested_complex(trans):
+    """Nested (3-level) LU on a complex-symmetric kernel, incl. the
+    conjugate-transpose solve reduction."""
+    n = 2000
+    _, tree, gen, Ad = _case(laplace_kernel_complex_symmetric, n)
+    A = build_blr2(gen, tree, epsilon=1e-9, coarse_size=512,
+                   diag_mode="nested", mid_size=128)
+    assert A.info["n_levels"] == 3
+    F = blr2_lu(A)
+    assert F.info["backward_error_est"] < 1e-6
+    x = _rhs(n, 2, complex_=True)
+    b = (Ad.conj().T if trans == "C" else Ad) @ x
+    xs = np.asarray(blr2_solve(F, b, user_numbering=True, trans=trans))
+    assert np.linalg.norm(xs - x) / np.linalg.norm(x) < 1e-6
