@@ -731,7 +731,7 @@ def _row_estimates():
         "weak_scaling_static": 90,
         f"assembly_cold_n{small_n}": 150,
         "blr_n10000": 120,
-        "blr2_n100000": 650,
+        "blr2_n100000": 850,  # incl ~600s cold nested-program compiles under a fresh cache
     }
 
 
@@ -742,15 +742,17 @@ def _row_names():
     small_n = int(os.environ.get("BENCH_N", "10000"))
     names = ["kernel_smoke", f"matvec_n{small_n}"]
     if os.environ.get("BENCH_SKIP_LARGE", "0") != "1":
-        # blr2_n100000 (the flagship factorization scale) outranks the 10k
-        # row, which is documented from repeated dev runs (BASELINE.md)
-        names += ["ddm_n100000", "ddm2_n20000", "blr2_n100000",
-                  "matvec_n100000", "complex_matvec_n100000", "blr2_n10000"]
+        # matvec_n100000 / complex (bandwidth + complex-ratio contracts) and
+        # blr2_n10000 come before blr2_n100000: the 100k LU pays ~600 s of
+        # cold nested-program compiles under the bench-local cache and would
+        # starve three cheaper rows (its numbers are recorded in BASELINE.md)
+        names += ["ddm_n100000", "ddm2_n20000", "blr2_n10000",
+                  "matvec_n100000", "complex_matvec_n100000"]
         if os.environ.get("BENCH_FLAT_BLR", "0") == "1":
             names.append("blr_n10000")
     names.append("weak_scaling_static")
     if os.environ.get("BENCH_SKIP_LARGE", "0") != "1":
-        names += [f"assembly_cold_n{small_n}"]
+        names += [f"assembly_cold_n{small_n}", "blr2_n100000"]
     return names
 
 
@@ -926,7 +928,10 @@ def main():
     for name in rows:
         elapsed = time.perf_counter() - t_start
         remaining = budget - elapsed
-        if remaining < est.get(name, 120):
+        # 15% start margin: a row that starts with a hair of budget gets
+        # budget-killed mid-row, losing its own result AND the tail rows'
+        # slots (observed: blr2_n10000 killed at 284 s with est 270)
+        if remaining < 1.15 * est.get(name, 120):
             aux[name] = {"skipped": f"budget: {remaining:.0f}s left < est {est.get(name, 120)}s"}
             print(
                 f"[bench] SKIP {name}: {remaining:.0f}s budget left, "
@@ -953,7 +958,13 @@ def main():
         backend = frag.pop("_backend", None)
         if aux["backend"] is None and backend:
             aux["backend"] = backend
-        if err is not None:
+        budget_bound = remaining < _ROW_TIMEOUT_S
+        if err is not None and "timed out" in err and budget_bound:
+            # killed by the global budget, not by a hang: a skip, not an
+            # accuracy violation
+            aux[name] = {"skipped": f"budget-killed after {wall:.0f}s", "wall_s": wall}
+            print(f"[bench] BUDGET-KILLED {name} after {wall:.0f}s", file=sys.stderr)
+        elif err is not None:
             aux[name] = {"error": err, "wall_s": wall}
             _VIOLATIONS.append(f"{name}: {err[:150]}")
         else:
